@@ -1,0 +1,94 @@
+"""Benchmark: training throughput of the flagship ViT recipe on real hardware.
+
+Prints ONE JSON line:
+    {"metric": "train_images_per_sec", "value": N, "unit": "img/s", "vs_baseline": R}
+
+Baseline: the reference trains CIFAR-10 for 200 epochs in 02:14:22 on 1x V100
+with AMP (README.md:33) -> 50_000*200/8062s = 1240 img/s.  ``vs_baseline`` is
+our throughput / 1240 (per chip).
+
+The benchmark runs the REAL jitted train step (augmentation + fwd/bwd +
+optimizer) of the 6.3M-param README-recipe ViT (7 layers, hidden 384, head 12,
+batch 128, label smoothing) on whatever data is available (real CIFAR-10 if on
+disk, else synthetic with identical shapes — compute is identical either way).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.data.datasets import load_dataset
+from vit_cifar_tpu.models import get_model
+from vit_cifar_tpu.parallel.mesh import make_mesh, replicated_sharding
+from vit_cifar_tpu.train.loop import init_state, MATMUL_PRECISION
+from vit_cifar_tpu.train.optim import make_optimizer
+from vit_cifar_tpu.train.steps import make_train_step
+
+BASELINE_IMG_PER_SEC = 50_000 * 200 / (2 * 3600 + 14 * 60 + 22)  # 1240 (V100)
+
+
+def main():
+    cfg = Config(
+        model_name="vit",
+        num_layers=7,
+        hidden=384,
+        mlp_hidden=384,
+        head=12,
+        batch_size=128,
+        label_smoothing=True,
+        autoaugment=True,
+        precision="bf16-mixed",
+    )
+    jax.config.update("jax_default_matmul_precision", MATMUL_PRECISION[cfg.matmul_precision])
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    n_chips = int(np.prod(mesh.devices.shape))
+
+    raw = load_dataset(cfg.dataset, cfg.data_dir, cfg.synthetic_data)
+    steps_per_epoch = len(raw.x_train) // cfg.batch_size
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    sample = jnp.zeros((2, 32, 32, 3), cfg.compute_dtype)
+    state = init_state(cfg, model, tx, sample)
+
+    repl = replicated_sharding(mesh)
+    x_all = jax.device_put(raw.x_train, repl)
+    y_all = jax.device_put(raw.y_train, repl)
+    perm = jax.device_put(np.arange(len(raw.x_train), dtype=np.int32), repl)
+
+    step_fn = jax.jit(make_train_step(cfg, model, tx, mesh=mesh), donate_argnums=(0,))
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step_fn(state, x_all, y_all, perm, i)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step_fn(state, x_all, y_all, perm, i % steps_per_epoch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = n_steps * cfg.batch_size / dt
+    per_chip = img_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec",
+                "value": round(img_per_sec, 1),
+                "unit": "img/s",
+                "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

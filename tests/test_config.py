@@ -1,0 +1,55 @@
+import dataclasses
+
+from vit_cifar_tpu.config import Config, config_from_args
+
+
+def test_defaults_match_reference():
+    cfg = Config()
+    # reference defaults: main.py:22 (model "ae"), main.py:89 (1 layer),
+    # main.py:54 (100 epochs), main.py:150 (seed 2045)
+    assert cfg.model_name == "ae"
+    assert cfg.num_layers == 1
+    assert cfg.max_epochs == 100
+    assert cfg.seed == 2045
+    assert cfg.batch_size == 128
+    assert cfg.eval_batch_size == 256
+
+
+def test_derived_fields():
+    cfg = Config(dataset="c10", patch=8)
+    assert cfg.num_classes == 10
+    assert cfg.seq_len == 65  # main.py:184
+    assert cfg.patch_size == 4
+    cfg = cfg.replace(is_cls_token=False)
+    assert cfg.seq_len == 64
+    assert Config(dataset="c100").num_classes == 100
+    assert Config(dataset="svhn").num_classes == 10
+
+
+def test_json_roundtrip():
+    cfg = Config(model_name="vit", num_layers=7, label_smoothing=True, mesh_shape=(4, 2))
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg == cfg2
+
+
+def test_cli_parsing():
+    cfg = config_from_args(
+        ["--dataset", "c100", "--model-name", "vit", "--label-smoothing",
+         "--autoaugment", "--num-layers", "7", "--off-cls-token"]
+    )
+    assert cfg.dataset == "c100"
+    assert cfg.model_name == "vit"
+    assert cfg.label_smoothing and cfg.autoaugment
+    assert cfg.num_layers == 7
+    assert not cfg.is_cls_token
+
+
+def test_cli_defaults_equal_dataclass_defaults():
+    cfg = config_from_args([])
+    assert cfg == Config()
+
+
+def test_config_hashable():
+    # Config must be hashable so it can be a static jit argument
+    d = {Config(): 1}
+    assert d[Config()] == 1

@@ -1,0 +1,124 @@
+"""End-to-end train smoke tests (the fast_dev_run equivalent, main.py:55) and
+multi-device sharding tests on the 8-virtual-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.models import get_model
+from vit_cifar_tpu.parallel.mesh import make_mesh
+from vit_cifar_tpu.train.loop import init_state
+from vit_cifar_tpu.train.optim import make_optimizer
+from vit_cifar_tpu.train.steps import make_eval_step, make_train_step
+
+# warmup_epoch=0: with the reference's warmup semantics, epoch 0 has lr=0
+# (GradualWarmupScheduler multiplier=1.0 — see test_optim.test_schedule_shape),
+# so single-step tests need warmup disabled to observe parameter movement.
+SMALL = dict(model_name="vit", num_layers=1, hidden=48, mlp_hidden=48, head=4,
+             batch_size=16, eval_batch_size=16, precision="32",
+             label_smoothing=True, synthetic_data=True, warmup_epoch=0)
+
+
+def _setup(cfg, n=256, mesh=None):
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    state = init_state(cfg, model, tx, sample)
+    rng = np.random.default_rng(0)
+    x_all = jnp.asarray(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8))
+    y_all = jnp.asarray(rng.integers(0, 10, n, dtype=np.int32))
+    step = make_train_step(cfg, model, tx, mesh=mesh)
+    return model, state, x_all, y_all, jax.jit(step)
+
+
+def test_train_step_updates_params_and_loss_finite():
+    cfg = Config(**SMALL)
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, metrics = step(state, x_all, y_all, perm, 0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
+    assert int(state.step) == 1
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), p0, state.params
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
+
+
+def test_train_step_with_cutmix_and_mixup():
+    for flags in ({"cutmix": True}, {"mixup": True}):
+        cfg = Config(**{**SMALL, **flags})
+        model, state, x_all, y_all, step = _setup(cfg)
+        perm = jnp.arange(len(x_all), dtype=jnp.int32)
+        state, metrics = step(state, x_all, y_all, perm, 0)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multichip_data_parallel_step():
+    """Full train step jitted over an 8-device mesh; grads psum over ICI."""
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    cfg = Config(**{**SMALL, "batch_size": 32})
+    mesh = make_mesh((8,), ("data",))
+    model, state, x_all, y_all, step = _setup(cfg, mesh=mesh)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    state, metrics = step(state, x_all, y_all, perm, 0)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics = step(state, x_all, y_all, perm, 1)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multichip_matches_single_chip():
+    """DP over 8 devices must be numerically equal to 1 device (same batch)."""
+    cfg = Config(**{**SMALL, "batch_size": 32, "dropout": 0.0})
+    mesh = make_mesh((8,), ("data",))
+    _, state1, x_all, y_all, step1 = _setup(cfg)
+    _, state8, _, _, step8 = _setup(cfg, mesh=mesh)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    s1, m1 = step1(state1, x_all, y_all, perm, 0)
+    s8, m8 = step8(state8, x_all, y_all, perm, 0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_eval_step_mask():
+    cfg = Config(**SMALL)
+    model, state, x_all, y_all, _ = _setup(cfg)
+    ev = jax.jit(make_eval_step(cfg, model))
+    img = x_all[:16]
+    lab = y_all[:16]
+    mask = jnp.concatenate([jnp.ones(10), jnp.zeros(6)])
+    out = ev(state.params, state.model_state, img, lab, mask)
+    assert float(out["count"]) == 10.0
+    assert np.isfinite(float(out["loss_sum"]))
+
+
+def test_dry_run_end_to_end(tmp_path):
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**SMALL).replace(
+        dry_run=True, log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "models")
+    )
+    res = train(cfg, verbose=False)
+    assert np.isfinite(res["val_loss"])
+    assert (tmp_path / "models").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vit_cifar_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = Config(**SMALL)
+    model, state, x_all, y_all, step = _setup(cfg)
+    payload = {"params": jax.device_get(state.params), "step": 0}
+    save_checkpoint(str(tmp_path / "ck"), payload, cfg)
+    restored, cfg2 = load_checkpoint(str(tmp_path / "ck"), target=payload)
+    assert cfg2 == cfg
+    a = jax.tree_util.tree_leaves(payload["params"])
+    b = jax.tree_util.tree_leaves(restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -1,0 +1,69 @@
+"""Multi-head self-attention with the reference's exact semantics.
+
+Parity quirks (vs. a standard transformer), kept deliberately:
+  * The softmax scale is ``1/sqrt(features)`` over the FULL model dim, not
+    ``1/sqrt(head_dim)`` (reference layers.py:79,97).
+  * Separate Wq/Wk/Wv projections with bias (layers.py:81-84).
+  * Dropout is applied to the output projection only (layers.py:101).
+
+Attention maps are exposed via flax's ``sow`` into the ``intermediates``
+collection — the functional replacement for the reference's
+``save_attn_map``/``self.attn_map`` attribute mutation (layers.py:50-65,99-100).
+
+TPU notes: seq_len here is tiny (65), so one attention is a handful of small
+matmuls; the throughput win comes from batching over (batch, heads) which XLA
+does once shapes are static.  A fused Pallas attention kernel lives in
+``ops/pallas/attention.py`` and is numerically interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .init import TorchLinear
+
+Dtype = Any
+
+
+class MultiHeadSelfAttention(nn.Module):
+    features: int
+    head: int = 8
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    save_attn_map: bool = False
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, T, F = x.shape
+        assert F == self.features
+        head_dim = self.features // self.head
+        sqrt_d = jnp.asarray(self.features**0.5, dtype=self.dtype)
+
+        q = TorchLinear(self.features, dtype=self.dtype, name="Wq")(x)
+        k = TorchLinear(self.features, dtype=self.dtype, name="Wk")(x)
+        v = TorchLinear(self.features, dtype=self.dtype, name="Wv")(x)
+
+        q = q.reshape(B, T, self.head, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, self.head, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, self.head, head_dim).transpose(0, 2, 1, 3)
+
+        if self.use_pallas and not self.save_attn_map:
+            from .pallas.attention import fused_attention
+
+            out = fused_attention(q, k, v, scale=1.0 / float(self.features**0.5))
+        else:
+            # (B,H,T,T) logits; full-dim scale per layers.py:97
+            logits = jnp.einsum("bhif,bhjf->bhij", q, k) / sqrt_d
+            attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            if self.save_attn_map:
+                self.sow("intermediates", "attn_map", attn)
+            out = jnp.einsum("bhij,bhjf->bihf", attn, v)
+
+        out = out.reshape(B, T, self.features)
+        out = TorchLinear(self.features, dtype=self.dtype, name="out_project")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out

@@ -1,0 +1,49 @@
+"""Device mesh and sharding layout.
+
+This replaces the reference's entire distributed stack: Lightning's
+DDP/DataParallel device handling (main.py:223-224) and the vendored
+thread-queue SynchronizedBatchNorm machinery (hamburger/sync_bn.py,
+hamburger/comm.py).  On TPU the same capability is: build one
+``jax.sharding.Mesh``, shard the batch over the ``data`` axis, keep params
+replicated, and let XLA insert the gradient ``psum`` over ICI when the train
+step is jitted with these shardings.  Cross-replica batch-norm statistics
+(sync_bn.py:51-116) collapse into a ``pmean`` over the data axis — see
+``ops/norm.py``.
+
+The mesh defaults to 1D ("data",) covering all visible devices; a 2D
+("data", "model") layout is accepted for future tensor-parallel work (the
+reference has no TP to match — SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=(), mesh_axes=("data",), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        mesh_shape = (len(devices),) + (1,) * (len(mesh_axes) - 1)
+    n = int(np.prod(mesh_shape))
+    if n != len(devices):
+        devices = devices[:n]
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, mesh_axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; rest replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with the batch dim sharded."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
+    )

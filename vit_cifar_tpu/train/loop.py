@@ -1,0 +1,239 @@
+"""The training harness.
+
+Reference: the Lightning ``Trainer`` assembly + ``Net`` hooks
+(main.py:196-243, network.py).  Capabilities preserved:
+
+  * warmup-cosine per-epoch schedule, per-group lr logging (network.py:223-224)
+  * per-epoch NaN parameter guard that halts training (network.py:226-228)
+  * val loop computing val_loss/val_acc (network.py:388-395)
+  * best-val_loss checkpointing + final checkpoint (main.py:213-236)
+  * param-count logging (network.py:134-139), experiment naming/tags
+  * ``dry_run`` = fast_dev_run: 1 train step + 1 val step (main.py:55,222)
+
+TPU-native structure: the dataset lives in HBM; one jitted train step does
+augmentation + fwd/bwd + optimizer update; the epoch shuffle is a jitted
+``jax.random.permutation``; everything is sharded over the mesh's ``data``
+axis with params replicated (DP).  State buffers are donated so params/opt
+state are updated in place in HBM.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..data.datasets import load_dataset
+from ..models import get_model
+from ..parallel.mesh import make_mesh, replicated_sharding
+from ..utils.logging import get_experiment_name, make_logger
+from .checkpoint import BestCheckpointer
+from .optim import make_optimizer
+from .state import TrainState
+from .steps import make_eval_step, make_train_step
+
+MATMUL_PRECISION = {"medium": "bfloat16", "high": "tensorfloat32", "highest": "float32"}
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def init_state(cfg: Config, model, tx, sample_input) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_init, k_state = jax.random.split(rng)
+    variables = model.init(
+        {"params": k_init, "dropout": k_init, "mask": k_init},
+        sample_input,
+        deterministic=True,
+    )
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=opt_state,
+        ae_opt_state=None,
+        rng=k_state,
+    )
+
+
+def _pad_eval(x: np.ndarray, y: np.ndarray, batch: int):
+    """Pad eval data to a whole number of batches; returns (x, y, mask)."""
+    n = len(x)
+    steps = -(-n // batch)
+    pad = steps * batch - n
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        y = np.concatenate([y, np.zeros((pad,), y.dtype)])
+    return x, y, mask, steps
+
+
+def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
+    jax.config.update(
+        "jax_default_matmul_precision", MATMUL_PRECISION[cfg.matmul_precision]
+    )
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert cfg.batch_size % n_dev == 0, "batch_size must divide the data axis"
+
+    raw = load_dataset(cfg.dataset, cfg.data_dir, cfg.synthetic_data)
+    experiment = get_experiment_name(cfg)
+    logger = make_logger(cfg, experiment)
+    logger.log_text("config.json", cfg.to_json())
+
+    model, can_learn_unsupervised = get_model(cfg)
+    steps_per_epoch = len(raw.x_train) // cfg.batch_size
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    sample = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.in_c), cfg.compute_dtype)
+    state = init_state(cfg, model, tx, sample)
+    n_params = count_params(state.params)
+    if verbose:
+        print(f"[{experiment}] params: {n_params:,} | devices: {n_dev} | "
+              f"steps/epoch: {steps_per_epoch}")
+    logger.log(0, 0, trainable_params=n_params, total_params=n_params)
+
+    # --- device-resident data ------------------------------------------------
+    repl = replicated_sharding(mesh)
+    x_train = jax.device_put(raw.x_train, repl)
+    y_train = jax.device_put(raw.y_train, repl)
+    x_test_np, y_test_np, eval_mask_np, eval_steps = _pad_eval(
+        raw.x_test, raw.y_test, cfg.eval_batch_size
+    )
+    batch_shard = NamedSharding(mesh, P("data"))
+    x_test = jax.device_put(x_test_np, repl)
+    y_test = jax.device_put(y_test_np, repl)
+    eval_mask = jax.device_put(eval_mask_np, repl)
+
+    # --- compiled functions ----------------------------------------------------
+    train_step = make_train_step(cfg, model, tx, mesh=mesh)
+    eval_step = make_eval_step(cfg, model)
+    jit_train_step = jax.jit(train_step, donate_argnums=(0,) if cfg.donate_buffers else ())
+    jit_eval = jax.jit(
+        lambda params, mstate, i: eval_step(
+            params,
+            mstate,
+            jax.lax.dynamic_slice_in_dim(x_test, i * cfg.eval_batch_size, cfg.eval_batch_size),
+            jax.lax.dynamic_slice_in_dim(y_test, i * cfg.eval_batch_size, cfg.eval_batch_size),
+            jax.lax.dynamic_slice_in_dim(eval_mask, i * cfg.eval_batch_size, cfg.eval_batch_size),
+        )
+    )
+    jit_perm = jax.jit(
+        lambda key: jax.random.permutation(key, len(raw.x_train)).astype(jnp.int32)
+    )
+    jit_nan_check = jax.jit(
+        lambda params: jax.tree_util.tree_reduce(
+            jnp.logical_or,
+            jax.tree_util.tree_map(lambda p: jnp.any(jnp.isnan(p)), params),
+            jnp.asarray(False),
+        )
+    )
+
+    lr_sched = None
+    try:
+        from .optim import warmup_cosine_epoch_schedule
+
+        lr_sched = warmup_cosine_epoch_schedule(
+            cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+        )
+    except Exception:
+        pass
+
+    ckpt = BestCheckpointer(cfg.ckpt_dir, experiment, cfg)
+    perm_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    max_epochs = 1 if cfg.dry_run else cfg.max_epochs
+    epoch_steps = 1 if cfg.dry_run else steps_per_epoch
+    history = []
+    t_start = time.time()
+    images_seen = 0
+
+    def run_eval(state):
+        sums = {"loss_sum": 0.0, "correct_sum": 0.0, "count": 0.0}
+        n_eval = 1 if cfg.dry_run else eval_steps
+        for i in range(n_eval):
+            out = jax.device_get(jit_eval(state.params, state.model_state, i))
+            for k in sums:
+                sums[k] += float(out[k])
+        return sums["loss_sum"] / sums["count"], sums["correct_sum"] / sums["count"]
+
+    for epoch in range(max_epochs):
+        perm_key, k = jax.random.split(perm_key)
+        perm = jit_perm(k)
+        ep_loss, ep_acc = 0.0, 0.0
+        t_ep = time.time()
+        metrics = None
+        for i in range(epoch_steps):
+            state, metrics = jit_train_step(state, x_train, y_train, perm, i)
+        # one sync per epoch: pull the last step's metrics
+        metrics = jax.device_get(metrics)
+        images_seen += epoch_steps * cfg.batch_size
+        ep_time = time.time() - t_ep
+
+        # NaN parameter guard (network.py:226-228)
+        if bool(jax.device_get(jit_nan_check(state.params))):
+            raise ValueError(
+                f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
+            )
+
+        val_loss, val_acc = run_eval(state)
+        lr_now = float(lr_sched(epoch * steps_per_epoch + 1)) if lr_sched else cfg.lr
+        row = dict(
+            loss=float(metrics["loss"]),
+            acc=float(metrics["acc"]),
+            val_loss=val_loss,
+            val_acc=val_acc,
+            lr_0=lr_now,
+            epoch_time=round(ep_time, 3),
+            images_per_sec=round(epoch_steps * cfg.batch_size / max(ep_time, 1e-9), 1),
+        )
+        history.append(row)
+        logger.log(int(jax.device_get(state.step)), epoch, **row)
+        logger.flush()
+        if verbose:
+            print(
+                f"epoch {epoch:3d} | loss {row['loss']:.4f} acc {row['acc']:.4f} | "
+                f"val_loss {val_loss:.4f} val_acc {val_acc:.4f} | "
+                f"{row['images_per_sec']:.0f} img/s"
+            )
+
+        payload = {
+            "params": jax.device_get(state.params),
+            "model_state": jax.device_get(state.model_state),
+            "step": int(jax.device_get(state.step)),
+            "epoch": epoch,
+        }
+        ckpt.maybe_save_best(val_loss, epoch, payload)
+
+    total_time = time.time() - t_start
+    final_payload = {
+        "params": jax.device_get(state.params),
+        "model_state": jax.device_get(state.model_state),
+        "step": int(jax.device_get(state.step)),
+        "epoch": max_epochs - 1,
+    }
+    ckpt.save_last(final_payload)
+    logger.finalize()
+
+    return {
+        "experiment": experiment,
+        "history": history,
+        "val_loss": history[-1]["val_loss"] if history else None,
+        "val_acc": history[-1]["val_acc"] if history else None,
+        "best_val_loss": ckpt.best_val_loss,
+        "total_time_s": total_time,
+        "images_per_sec": images_seen / max(total_time, 1e-9),
+        "n_params": n_params,
+        "ckpt_dir": ckpt.root,
+        "synthetic_data": raw.synthetic,
+    }

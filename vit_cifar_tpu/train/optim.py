@@ -1,0 +1,103 @@
+"""Optimizers and LR schedule.
+
+Reference: ``Net.configure_optimizers`` (network.py:70-122).
+
+Schedule: CosineAnnealingLR(T_max=max_epochs, eta_min=min_lr) wrapped in
+GradualWarmupScheduler(multiplier=1.0, total_epoch=warmup_epoch) and stepped
+**per epoch** (network.py:113-122).  Two deliberate quirks preserved:
+  * warmup is linear from 0 (multiplier=1.0 semantics), reaching base lr at
+    ``warmup_epoch``;
+  * the cosine phase uses T_max = max_epochs while only
+    ``max_epochs - warmup_epoch`` epochs actually run, so the lr never quite
+    reaches ``min_lr`` — exactly like the reference.
+
+Optimizers: adam/sgd are torch-semantics (weight decay added to the gradient
+*before* the moment updates — classic L2, not AdamW).  ``madam``
+(nnmf/optimizer.py) routes NNMF weights to a multiplicative tanh update and
+everything else to adam; it is wired in ``make_optimizer`` via an optax
+multi_transform keyed on parameter names containing ``nnmf``/``_weights``
+(network.py:90-96).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+
+
+def warmup_cosine_epoch_schedule(
+    base_lr: float,
+    min_lr: float,
+    warmup_epoch: int,
+    max_epochs: int,
+    steps_per_epoch: int,
+):
+    """Per-epoch warmup->cosine, evaluated from the global step count."""
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        warm = base_lr * epoch / max(warmup_epoch, 1)
+        cos_epoch = jnp.maximum(epoch - warmup_epoch, 0)
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * cos_epoch / max_epochs)
+        )
+        return jnp.where(epoch < warmup_epoch, warm, cos)
+
+    return schedule
+
+
+def _nnmf_param_label(path: tuple) -> str:
+    """Reference routes params whose name contains 'nnmf' or '_weights' to the
+    NNMF group (network.py:90-96)."""
+    flat = "/".join(str(p) for p in path).lower()
+    return "nnmf" if ("nnmf" in flat or "_weights" in flat) else "other"
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int, params=None) -> optax.GradientTransformation:
+    schedule = warmup_cosine_epoch_schedule(
+        cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+    )
+
+    if cfg.optimizer == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if cfg.optimizer == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.trace(decay=cfg.beta1),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if cfg.optimizer == "madam":
+        from ..ops.nnmf.optimizer import scale_by_madam
+
+        nnmf_schedule = warmup_cosine_epoch_schedule(
+            cfg.lr_nnmf, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+        )
+        adam_tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
+            optax.scale_by_learning_rate(schedule),
+        )
+        madam_tx = scale_by_madam(
+            nnmf_schedule, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8,
+            weight_decay=cfg.weight_decay,
+        )
+        import jax
+
+        def labeler(ps):
+            flat = jax.tree_util.tree_flatten_with_path(ps)[0]
+            # rebuild a pytree of labels with the same structure
+            labels = [
+                _nnmf_param_label(tuple(getattr(k, "key", getattr(k, "name", k)) for k in path))
+                for path, _ in flat
+            ]
+            treedef = jax.tree_util.tree_structure(ps)
+            return jax.tree_util.tree_unflatten(treedef, labels)
+
+        return optax.multi_transform({"other": adam_tx, "nnmf": madam_tx}, labeler)
+    raise NotImplementedError(f"Unknown optimizer: {cfg.optimizer}")

@@ -1,0 +1,184 @@
+"""The jitted train / eval step functions.
+
+Reference: ``Net.supervised_step`` / ``training_step`` / ``validation_step``
+(network.py:149-220, 388-395).  Everything that the reference does per batch —
+device-side CutMix/MixUp, forward, loss, backward, optimizer step, NNMF
+pre/post care — plus what it does on the *host* (crop/flip augmentation in
+DataLoader workers) runs here inside one jit-compiled function.  The dataset
+is HBM-resident; each step receives only a batch of indices.
+
+Parity details:
+  * mixup is applied with probability 0.8; otherwise lambda=1 and the random
+    label is all-zeros (network.py:153-163) — replicated with a traced
+    bernoulli + where so there is no data-dependent control flow.
+  * mixed loss = lam * CE(out, y) + (1-lam) * CE(out, y_rand) (network.py:165-167)
+  * accuracy is measured against the *original* labels (network.py:206)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data import augment
+from .losses import make_criterion, make_per_example_loss
+from .state import TrainState
+
+
+def _collect_ae_terms(intermediates) -> list:
+    """Pull (hidden, input, output) AE triples out of sown intermediates."""
+    terms = []
+
+    def visit(node):
+        if isinstance(node, dict):
+            if {"ae_hidden", "ae_input", "ae_output"} <= set(node.keys()):
+                h = node["ae_hidden"]
+                i = node["ae_input"]
+                o = node["ae_output"]
+                # sow stores tuples of values
+                terms.append((h[0] if isinstance(h, tuple) else h,
+                              i[0] if isinstance(i, tuple) else i,
+                              o[0] if isinstance(o, tuple) else o))
+            else:
+                for v in node.values():
+                    visit(v)
+
+    visit(intermediates)
+    return terms
+
+
+def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
+    """Build the jittable train step.
+
+    Signature: ``(state, x_all, y_all, perm, i) -> (state, metrics)`` where
+    ``x_all/y_all`` are the HBM-resident dataset, ``perm`` the epoch's shuffle
+    permutation, and ``i`` the step index within the epoch — so the only
+    host->device traffic per step is one scalar.  When a mesh is given, the
+    gathered batch is sharding-constrained onto the ``data`` axis, which makes
+    XLA run everything downstream data-parallel and insert the gradient
+    ``psum`` over ICI (replaces Lightning DDP, main.py:223-224).
+    """
+    criterion = make_criterion(cfg)
+    needs_intermediates = cfg.criterion == "aece" or cfg.model_name.startswith("ae")
+    B = cfg.batch_size
+
+    def _shard_data(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def train_step(state: TrainState, x_all, y_all, perm, i):
+        key = jax.random.fold_in(state.rng, state.step)
+        k_crop, k_mix, k_gate, k_drop, k_rcp, k_model = jax.random.split(key, 6)
+
+        idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+        img = _shard_data(jnp.take(x_all, idx, axis=0))  # (B,H,W,C) uint8
+        label = _shard_data(jnp.take(y_all, idx, axis=0))
+
+        # --- on-device augmentation (host transforms in the reference) ---
+        img = augment.random_crop_flip(
+            key=k_crop, x=img, padding=cfg.padding, flip=(cfg.dataset != "svhn")
+        )
+        img = augment.normalize(img, cfg.mean, cfg.std)
+        if cfg.rcpaste:
+            img = augment.random_crop_paste(k_rcp, img)
+
+        # --- batch-level mixing (network.py:150-163) ---
+        if cfg.cutmix:
+            img, label, rand_label, lam = augment.cutmix(
+                k_mix, img, label, cfg.img_size, beta=1.0
+            )
+        elif cfg.mixup:
+            mixed, _, rand_label_m, lam_m = augment.mixup(k_mix, img, label, alpha=1.0)
+            gate = jax.random.uniform(k_gate) <= 0.8
+            img = jnp.where(gate, mixed, img)
+            rand_label = jnp.where(gate, rand_label_m, jnp.zeros_like(label))
+            lam = jnp.where(gate, lam_m, 1.0)
+        else:
+            rand_label, lam = None, None
+
+        img = img.astype(cfg.compute_dtype)
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            mutable = ["state"] if state.model_state else []
+            if needs_intermediates:
+                mutable = mutable + ["intermediates"]
+            if mutable:
+                logits, updates = model.apply(
+                    variables,
+                    img,
+                    deterministic=False,
+                    rngs={"dropout": k_drop, "mask": k_model},
+                    mutable=mutable,
+                )
+            else:
+                logits = model.apply(
+                    variables,
+                    img,
+                    deterministic=False,
+                    rngs={"dropout": k_drop, "mask": k_model},
+                )
+                updates = {}
+            aux = {}
+            if needs_intermediates and "intermediates" in updates:
+                aux["ae"] = _collect_ae_terms(updates["intermediates"])
+            if rand_label is not None:
+                loss = criterion(logits, label, aux) * lam + criterion(
+                    logits, rand_label, aux
+                ) * (1.0 - lam)
+            else:
+                loss = criterion(logits, label, aux)
+            new_model_state = {
+                k: v for k, v in updates.items() if k != "intermediates"
+            }
+            return loss, (logits, new_model_state)
+
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+
+        acc = jnp.mean(jnp.argmax(logits, axis=-1) == label)
+        metrics = {"loss": loss, "acc": acc}
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            model_state=new_model_state or state.model_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model) -> Callable:
+    """(params, model_state, img_u8, label, mask) -> summed loss/acc/count."""
+    per_example_loss = make_per_example_loss(cfg)
+
+    def eval_step(params, model_state, img, label, mask):
+        x = augment.normalize(img, cfg.mean, cfg.std).astype(cfg.compute_dtype)
+        variables = {"params": params, **model_state}
+        logits = model.apply(variables, x, deterministic=True)
+        per_ex = per_example_loss(logits, label)
+        correct = (jnp.argmax(logits, axis=-1) == label).astype(jnp.float32)
+        m = mask.astype(jnp.float32)
+        return {
+            "loss_sum": jnp.sum(per_ex * m),
+            "correct_sum": jnp.sum(correct * m),
+            "count": jnp.sum(m),
+        }
+
+    return eval_step
