@@ -49,6 +49,37 @@ class TorchLinear(nn.Module):
         return y
 
 
+class TorchConv(nn.Module):
+    """nn.Conv with torch nn.Conv2d's default init (NHWC).
+
+    torch's kaiming_uniform(a=sqrt(5)) on convs reduces to
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = in_c * prod(kernel).
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (1, 1)
+    strides: tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_c = x.shape[-1]
+        fan_in = in_c * self.kernel_size[0] * self.kernel_size[1]
+        bound = 1.0 / (fan_in**0.5)
+        return nn.Conv(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=uniform_range(-bound, bound),
+            bias_init=uniform_range(-bound, bound),
+        )(x)
+
+
 def normal(std: float = 1.0):
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.normal(key, shape, dtype)

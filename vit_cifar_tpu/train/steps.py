@@ -108,7 +108,7 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
 
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
-            mutable = ["state"] if state.model_state else []
+            mutable = sorted(state.model_state.keys())
             if needs_intermediates:
                 mutable = mutable + ["intermediates"]
             if mutable:
