@@ -150,6 +150,16 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
             lambda p, u: p + u.astype(p.dtype), state.params, updates
         )
 
+        # NNMF weight after-care: norm -> clamp -> norm after every optimizer
+        # step (network.py:380-386); no-op unless trainable NNMF weights exist.
+        if cfg.train_md_bases:
+            from ..ops.nnmf.layers import has_nnmf_weights, nnmf_after_care
+
+            if has_nnmf_weights(state.params):
+                new_params = nnmf_after_care(
+                    new_params, cfg.nnmf_learning_rate_threshold_w
+                )
+
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == label)
         metrics = {"loss": loss, "acc": acc}
 
