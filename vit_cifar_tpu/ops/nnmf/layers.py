@@ -135,18 +135,32 @@ class AutoNNMFLayer(NNMFConv2d):
         wd = jax.lax.stop_gradient(w)
         decoded = jnp.einsum("cm,bmp->bcp", wd, h)  # (B, C, P)
 
-        if tuple(self.forward_kernel_size) == tuple(self.input_size):
-            # whole-input kernel: P == 1, C == kh*kw*C_in -> reshape
-            out = decoded.reshape(
-                B, self.number_of_input_neurons, *self.input_size
-            )
-        else:
-            raise NotImplementedError(
-                "AutoNNMFLayer decode with kernel != input_size (the reference "
-                "uses conv_transpose2d there, AutoNNMFLayer.py:315-324; no model "
-                "in the zoo exercises it)"
-            )
+        out = self._decode_fold(decoded, B)
         return out.astype(self.dtype)
+
+    def _decode_fold(self, decoded, B):
+        """Fold the decoded patches back to the input size.
+
+        The reference uses conv_transpose2d for the general case
+        (AutoNNMFLayer.py:315-324); the two framings the model zoo exercises
+        both reduce to reshapes (stride 1, no padding, non-overlapping):
+          * kernel == input_size: one patch covering everything (P == 1)
+          * kernel == (H, 1) column kernel with 1 input channel: P == W
+        """
+        kh, kw = self.forward_kernel_size
+        H, W = self.input_size
+        if (kh, kw) == (H, W):
+            return decoded.reshape(B, self.number_of_input_neurons, H, W)
+        if (kh, kw) == (H, 1) and self.number_of_input_neurons == 1 and tuple(
+            self.strides
+        ) == (1, 1):
+            # decoded: (B, C=H, P=W) -> (B, 1, H, W)
+            return decoded.reshape(B, 1, H, W)
+        raise NotImplementedError(
+            "AutoNNMFLayer decode for general overlapping kernels "
+            "(conv_transpose2d path, AutoNNMFLayer.py:315-324) — no model in "
+            "the zoo exercises it"
+        )
 
 
 class NNMFEncoderDecoder(NNMFConv2d):

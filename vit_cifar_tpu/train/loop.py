@@ -55,12 +55,20 @@ def init_state(cfg: Config, model, tx, sample_input) -> TrainState:
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
     opt_state = tx.init(params)
+
+    ae_opt_state = None
+    from .unsupervised import make_unsupervised_update, uses_unsupervised
+
+    if uses_unsupervised(cfg):
+        init_ae_opt_state, _ = make_unsupervised_update(cfg)
+        ae_opt_state = init_ae_opt_state(params)
+
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         model_state=model_state,
         opt_state=opt_state,
-        ae_opt_state=None,
+        ae_opt_state=ae_opt_state,
         rng=k_state,
     )
 

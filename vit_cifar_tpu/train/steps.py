@@ -33,16 +33,19 @@ def _collect_ae_terms(intermediates) -> list:
     """Pull (hidden, input, output) AE triples out of sown intermediates."""
     terms = []
 
+    def unsow(v):
+        return v[0] if isinstance(v, (tuple, list)) else v
+
     def visit(node):
         if isinstance(node, dict):
-            if {"ae_hidden", "ae_input", "ae_output"} <= set(node.keys()):
-                h = node["ae_hidden"]
-                i = node["ae_input"]
-                o = node["ae_output"]
-                # sow stores tuples of values
-                terms.append((h[0] if isinstance(h, tuple) else h,
-                              i[0] if isinstance(i, tuple) else i,
-                              o[0] if isinstance(o, tuple) else o))
+            if {"ae_input", "ae_output"} <= set(node.keys()):
+                if "ae_hidden" in node:
+                    h = unsow(node["ae_hidden"])
+                else:
+                    # NNMF-heads path: hidden sown by AutoNNMFLayer itself
+                    # (AutoNNMFLayer.py:304 equivalent)
+                    h = unsow(node["AE"]["hidden_activity"])
+                terms.append((h, unsow(node["ae_input"]), unsow(node["ae_output"])))
             else:
                 for v in node.values():
                     visit(v)
@@ -62,9 +65,13 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
     XLA run everything downstream data-parallel and insert the gradient
     ``psum`` over ICI (replaces Lightning DDP, main.py:223-224).
     """
+    from .unsupervised import make_unsupervised_update, uses_unsupervised
+
     criterion = make_criterion(cfg)
     needs_intermediates = cfg.criterion == "aece" or cfg.model_name.startswith("ae")
     B = cfg.batch_size
+    unsupervised = uses_unsupervised(cfg)
+    run_ae_updates = make_unsupervised_update(cfg)[1] if unsupervised else None
 
     def _shard_data(x):
         if mesh is None:
@@ -139,9 +146,9 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
             new_model_state = {
                 k: v for k, v in updates.items() if k != "intermediates"
             }
-            return loss, (logits, new_model_state)
+            return loss, (logits, new_model_state, updates.get("intermediates"))
 
-        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+        (loss, (logits, new_model_state, intermediates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
@@ -163,10 +170,19 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == label)
         metrics = {"loss": loss, "acc": acc}
 
+        # AE-internal optimizer steps (network.py:172-178)
+        new_ae_opt_state = state.ae_opt_state
+        if unsupervised:
+            new_params, new_ae_opt_state, unsup_loss = run_ae_updates(
+                new_params, state.ae_opt_state, intermediates
+            )
+            metrics["unsupervised_loss"] = unsup_loss
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
+            ae_opt_state=new_ae_opt_state,
             model_state=new_model_state or state.model_state,
         )
         return new_state, metrics
