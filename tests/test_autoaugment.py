@@ -1,0 +1,144 @@
+"""On-device AutoAugment vs PIL ground truth (PIL is in the image).
+
+Photometric ops are checked for exact (or near-exact) agreement with the PIL
+functions the reference uses; geometry ops are checked structurally (PIL's
+resampling internals differ in sub-pixel rounding).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+from vit_cifar_tpu.data import autoaugment as aa
+
+
+def _rand_img(seed=0, size=32):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def _run_op(name, img_u8, magnitude, key=None):
+    fn = aa._OP_FNS[aa._OP_ID[name]]
+    key = key if key is not None else jax.random.PRNGKey(0)
+    out = fn(jnp.asarray(img_u8, jnp.float32), jnp.asarray(magnitude, jnp.float32), key)
+    return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+
+
+def test_invert_matches_pil():
+    img = _rand_img()
+    got = _run_op("invert", img, 0)
+    expected = np.asarray(ImageOps.invert(Image.fromarray(img)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_solarize_matches_pil():
+    img = _rand_img(1)
+    for thr in [0.0, 77.0, 128.0, 256.0]:
+        got = _run_op("solarize", img, thr)
+        expected = np.asarray(ImageOps.solarize(Image.fromarray(img), thr))
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_posterize_matches_pil():
+    img = _rand_img(2)
+    for bits in [4, 5, 6, 7, 8]:
+        got = _run_op("posterize", img, float(bits))
+        expected = np.asarray(ImageOps.posterize(Image.fromarray(img), bits))
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_equalize_matches_pil():
+    img = _rand_img(3)
+    got = _run_op("equalize", img, 0)
+    expected = np.asarray(ImageOps.equalize(Image.fromarray(img)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_equalize_matches_pil_on_flat_image():
+    img = np.full((32, 32, 3), 7, np.uint8)  # single-bin histogram
+    got = _run_op("equalize", img, 0)
+    expected = np.asarray(ImageOps.equalize(Image.fromarray(img)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_autocontrast_matches_pil():
+    img = (_rand_img(4) // 2 + 40).astype(np.uint8)  # compressed range
+    got = _run_op("autocontrast", img, 0)
+    expected = np.asarray(ImageOps.autocontrast(Image.fromarray(img)))
+    # integer LUT rounding can differ by 1 in rare bins
+    assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("name,enhancer", [
+    ("brightness", ImageEnhance.Brightness),
+    ("color", ImageEnhance.Color),
+    ("contrast", ImageEnhance.Contrast),
+    ("sharpness", ImageEnhance.Sharpness),
+])
+def test_enhance_ops_match_pil(name, enhancer):
+    img = _rand_img(5)
+    m = 0.5
+    # our op picks a random sign; PRNGKey(0) bernoulli -> check both signs
+    got = _run_op(name, img, m, key=jax.random.PRNGKey(0))
+    candidates = []
+    for sign in (+1, -1):
+        pil = enhancer(Image.fromarray(img)).enhance(1 + m * sign)
+        candidates.append(np.asarray(pil).astype(int))
+    diffs = [np.abs(got.astype(int) - c).max() for c in candidates]
+    assert min(diffs) <= 2, f"{name}: best max-diff {min(diffs)}"
+
+
+def test_geometry_ops_shapes_and_fill():
+    img = _rand_img(6)
+    for name in ["shearX", "shearY", "translateX", "translateY", "rotate"]:
+        m = {"rotate": 30.0}.get(name, 0.3 if "shear" in name else 0.4)
+        got = _run_op(name, img, m)
+        assert got.shape == img.shape
+        # out-of-bounds area must be gray 128
+        assert (got == 128).any(), name
+
+
+def test_translate_matches_pil_exactly():
+    img = _rand_img(7)
+    m = 0.3  # fraction of width
+    got = _run_op("translateX", img, m, key=jax.random.PRNGKey(0))
+    shift = m * 32
+    candidates = []
+    for sign in (+1, -1):
+        pil = Image.fromarray(img).transform(
+            (32, 32), Image.AFFINE, (1, 0, shift * sign, 0, 1, 0),
+            fillcolor=(128, 128, 128),
+        )
+        candidates.append(np.asarray(pil).astype(int))
+    diffs = [np.abs(got.astype(int) - c).max() for c in candidates]
+    assert min(diffs) == 0
+
+
+def test_batch_autoaugment_runs_and_changes_images():
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    out = aa.autoaugment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs), "cifar10")
+    assert out.shape == imgs.shape and out.dtype == jnp.uint8
+    assert not np.array_equal(np.asarray(out), imgs)
+    out_svhn = aa.autoaugment_batch(jax.random.PRNGKey(1), jnp.asarray(imgs), "svhn")
+    assert out_svhn.shape == imgs.shape
+
+
+def test_policy_tables_complete():
+    assert len(aa.CIFAR10_POLICY) == 24  # one sub-policy is commented out in
+    # the reference (autoaugment.py:78), leaving 24 active
+    assert len(aa.IMAGENET_POLICY) == 25
+    assert len(aa.SVHN_POLICY) == 25
+
+
+def test_train_step_with_autoaugment():
+    from tests.test_train_smoke import _setup, SMALL
+    from vit_cifar_tpu.config import Config
+
+    cfg = Config(**{**SMALL, "autoaugment": True})
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    state, metrics = step(state, x_all, y_all, perm, 0)
+    assert np.isfinite(float(metrics["loss"]))

@@ -89,10 +89,17 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
         img = _shard_data(jnp.take(x_all, idx, axis=0))  # (B,H,W,C) uint8
         label = _shard_data(jnp.take(y_all, idx, axis=0))
 
-        # --- on-device augmentation (host transforms in the reference) ---
+        # --- on-device augmentation (host transforms in the reference,
+        #     utils.py:337-367; same order: crop -> flip -> autoaugment ->
+        #     normalize -> rcpaste) ---
         img = augment.random_crop_flip(
             key=k_crop, x=img, padding=cfg.padding, flip=(cfg.dataset != "svhn")
         )
+        if cfg.autoaugment:
+            from ..data.autoaugment import autoaugment_batch, policy_for_dataset
+
+            k_crop, k_aa = jax.random.split(k_crop)
+            img = autoaugment_batch(k_aa, img, policy_for_dataset(cfg.dataset))
         img = augment.normalize(img, cfg.mean, cfg.std)
         if cfg.rcpaste:
             img = augment.random_crop_paste(k_rcp, img)
