@@ -28,7 +28,7 @@ def test_synthetic_c100():
 def test_semi_supervised_split_quotas():
     # datasets.py:116-133: per class 500 valid, 400 labeled, rest unlabeled
     raw = load_dataset("c10", synthetic=True)
-    splits = semi_supervised_split(raw, seed=0)
+    splits = semi_supervised_split(raw)
     xl, yl = splits["labeled"]
     xv, yv = splits["valid"]
     xu, yu = splits["unlabeled"]
@@ -37,3 +37,27 @@ def test_semi_supervised_split_quotas():
         assert (yv == c).sum() == 500
     assert (yu == -1).all()
     assert len(xl) + len(xv) + len(xu) == len(raw.x_train)
+
+
+def test_semi_supervised_training_dry_run(tmp_path):
+    from vit_cifar_tpu.config import Config
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(model_name="vit", num_layers=1, hidden=48, mlp_hidden=48,
+                 head=4, batch_size=16, eval_batch_size=16, precision="32",
+                 semi_supervised=True, dry_run=True, synthetic_data=True,
+                 log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "models"))
+    res = train(cfg, verbose=False)
+    assert np.isfinite(res["val_loss"])
+
+
+def test_semi_supervised_non_c10_raises(tmp_path):
+    import pytest
+    from vit_cifar_tpu.config import Config
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(dataset="c100", model_name="vit", semi_supervised=True,
+                 synthetic_data=True, dry_run=True,
+                 log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))
+    with pytest.raises(NotImplementedError):
+        train(cfg, verbose=False)

@@ -95,12 +95,29 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
     assert cfg.batch_size % n_dev == 0, "batch_size must divide the data axis"
 
     raw = load_dataset(cfg.dataset, cfg.data_dir, cfg.synthetic_data)
+    if cfg.semi_supervised:
+        # parity: only c10 is implemented (utils.py:404-416); training runs on
+        # the 400-per-class labeled split.  The reference also iterates the
+        # unlabeled split but its unsupervised_step hook is a no-op ``pass``
+        # (network.py:213-214), so there is nothing to compute for it.
+        if cfg.dataset != "c10":
+            raise NotImplementedError(
+                f"{cfg.dataset} is not implemented yet for semi-supervised."
+            )
+        from ..data.datasets import semi_supervised_split
+
+        splits = semi_supervised_split(raw)
+        train_x, train_y = splits["labeled"]
+        test_x, test_y = splits["test"]
+    else:
+        train_x, train_y = raw.x_train, raw.y_train
+        test_x, test_y = raw.x_test, raw.y_test
     experiment = get_experiment_name(cfg)
     logger = make_logger(cfg, experiment)
     logger.log_text("config.json", cfg.to_json())
 
     model, can_learn_unsupervised = get_model(cfg)
-    steps_per_epoch = len(raw.x_train) // cfg.batch_size
+    steps_per_epoch = len(train_x) // cfg.batch_size
     tx = make_optimizer(cfg, steps_per_epoch)
 
     sample = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.in_c), cfg.compute_dtype)
@@ -113,10 +130,10 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
 
     # --- device-resident data ------------------------------------------------
     repl = replicated_sharding(mesh)
-    x_train = jax.device_put(raw.x_train, repl)
-    y_train = jax.device_put(raw.y_train, repl)
+    x_train = jax.device_put(train_x, repl)
+    y_train = jax.device_put(train_y, repl)
     x_test_np, y_test_np, eval_mask_np, eval_steps = _pad_eval(
-        raw.x_test, raw.y_test, cfg.eval_batch_size
+        test_x, test_y, cfg.eval_batch_size
     )
     batch_shard = NamedSharding(mesh, P("data"))
     x_test = jax.device_put(x_test_np, repl)
@@ -137,7 +154,7 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
         )
     )
     jit_perm = jax.jit(
-        lambda key: jax.random.permutation(key, len(raw.x_train)).astype(jnp.int32)
+        lambda key: jax.random.permutation(key, len(train_x)).astype(jnp.int32)
     )
     jit_nan_check = jax.jit(
         lambda params: jax.tree_util.tree_reduce(
