@@ -1,0 +1,157 @@
+"""Analysis & observability: run_model round-trip, attention rollout,
+dashboard report generation, histograms, model summary."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cifar_tpu.analysis.attention_maps import (
+    collect_attention_maps,
+    get_joint_attentions,
+)
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.models import get_model
+
+SMALL = dict(model_name="vit", num_layers=2, hidden=48, mlp_hidden=48, head=4,
+             batch_size=16, eval_batch_size=8, precision="32",
+             synthetic_data=True, warmup_epoch=0)
+
+
+def _trained_ckpt(tmp_path):
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**SMALL).replace(
+        dry_run=True, log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "models")
+    )
+    res = train(cfg, verbose=False)
+    return res["ckpt_dir"]
+
+
+def test_attention_capture_and_rollout():
+    cfg = Config(**SMALL).replace(save_attn_map=True)
+    model, _ = get_model(cfg)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mask": jax.random.PRNGKey(2)}, x, deterministic=True,
+    )
+    _, inter = model.apply(variables, x, deterministic=True,
+                           mutable=["intermediates"])
+    maps = collect_attention_maps(inter["intermediates"])
+    assert maps.shape == (2, 2, 4, 65, 65)  # (L,B,H,T,T)
+    np.testing.assert_allclose(maps.sum(-1), 1.0, rtol=1e-3)
+
+    joint = get_joint_attentions(maps)
+    assert joint.shape == maps.shape
+    # rollout rows remain distributions
+    np.testing.assert_allclose(joint.sum(-1), 1.0, rtol=1e-3)
+    tok = get_joint_attentions(maps, token=0)
+    assert tok.shape == (2, 2, 4, 65)
+
+
+def test_rollout_math_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    raw = rng.uniform(0, 1, (3, 1, 2, 5, 5)).astype(np.float32)
+    raw = raw / raw.sum(-1, keepdims=True)
+    joint = get_joint_attentions(raw)
+    eye = np.eye(5, dtype=np.float32)
+    aug = raw + eye
+    aug = aug / aug.sum(-1, keepdims=True)
+    expected = aug[0]
+    np.testing.assert_allclose(joint[0], expected, rtol=1e-6)
+    expected = np.matmul(aug[1], expected)
+    np.testing.assert_allclose(joint[1], expected, rtol=1e-5)
+
+
+def test_run_model_roundtrip(tmp_path):
+    from vit_cifar_tpu.analysis.run_model import find_checkpoints, load_run_model
+
+    ckpt_dir = _trained_ckpt(tmp_path)
+    found = find_checkpoints(str(tmp_path / "models"))
+    assert ckpt_dir in found
+    model, variables, imgs, out, inter = load_run_model(ckpt_dir, batch_size=4)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert out.shape == (4, 10)
+    maps = collect_attention_maps(inter)
+    assert maps.shape[0] == 2 and maps.shape[1] == 4
+
+
+def test_dashboard_report(tmp_path):
+    from vit_cifar_tpu.analysis.dashboard import generate_report
+
+    ckpt_dir = _trained_ckpt(tmp_path)
+    index = generate_report(ckpt_dir, out_dir=str(tmp_path / "report"),
+                            image_index=0, token=1, batch_size=4)
+    assert os.path.exists(index)
+    pngs = [f for f in os.listdir(tmp_path / "report") if f.endswith(".png")]
+    # per layer: attention + rollout + overlay, plus the input grid
+    assert len(pngs) == 2 * 3 + 1
+
+
+def test_model_summary():
+    from vit_cifar_tpu.utils.observability import model_summary
+
+    cfg = Config(**SMALL)
+    model, _ = get_model(cfg)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mask": jax.random.PRNGKey(2)}, x, deterministic=True,
+    )
+    s = model_summary(variables["params"])
+    assert "TOTAL" in s and "enc0" in s
+    s1 = model_summary(variables["params"], depth=1)
+    assert "enc0" in s1 and "enc0/mixer" not in s1
+
+
+def test_layer_output_capture():
+    from vit_cifar_tpu.utils.observability import get_layer_outputs
+
+    cfg = Config(**SMALL)
+    model, _ = get_model(cfg)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mask": jax.random.PRNGKey(2)}, x, deterministic=True,
+    )
+    outs = get_layer_outputs(model, variables, x)
+    assert any("enc0" in k for k in outs)
+    assert any("mixer" in k for k in outs)
+
+
+def test_histograms_npz(tmp_path):
+    from vit_cifar_tpu.utils.logging import CSVLogger
+    from vit_cifar_tpu.utils.observability import log_histograms
+
+    logger = CSVLogger(str(tmp_path), "exp")
+    tree = {"a": {"w": jnp.arange(100.0)}, "b": jnp.ones((3, 3))}
+    log_histograms(logger, tree, "weights", step=5, epoch=1)
+    hist_dir = os.path.join(logger.dir, "histograms")
+    files = os.listdir(hist_dir)
+    assert len(files) == 1
+    data = np.load(os.path.join(hist_dir, files[0]))
+    assert any("a.w__counts" in k for k in data.files)
+
+
+def test_train_with_log_gradients(tmp_path):
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**SMALL).replace(
+        max_epochs=1, log_gradients=True, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "models"),
+    )
+    # 1 epoch over 50k synthetic images is slow on CPU; shrink via dry_run=False
+    # but keep it tiny by monkey-limiting steps: use semi_supervised labeled
+    # split (4000 images -> 250 steps at bs 16) — still too slow; use dry_run
+    cfg = cfg.replace(dry_run=False, max_epochs=1, batch_size=2048,
+                      eval_batch_size=2048)
+    res = train(cfg, verbose=False)
+    exp_dir = os.path.join(str(tmp_path / "logs"), res["experiment"])
+    hist_dir = os.path.join(exp_dir, "histograms")
+    assert os.path.isdir(hist_dir)
+    names = os.listdir(hist_dir)
+    assert any(n.startswith("weights") for n in names)
+    assert any(n.startswith("grads") for n in names)
+    assert os.path.exists(os.path.join(exp_dir, "model_summary.txt"))

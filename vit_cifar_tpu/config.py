@@ -163,6 +163,11 @@ class Config:
     log_dir: str = "logs"
     ckpt_dir: str = "models"
 
+    # not a CLI flag in the reference either — run_model.py:45-47 flips the
+    # module attribute post-hoc; here it is part of the (immutable) config
+    save_attn_map: bool = False
+    profile_dir: str = ""  # jax.profiler trace output (TPU equiv of SURVEY §5)
+
     # -- TPU-native knobs (no reference equivalent) ----------------------------
     mesh_shape: tuple[int, ...] = ()  # () -> all devices on the data axis
     mesh_axes: tuple[str, ...] = ("data",)
@@ -316,6 +321,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow-download", action="store_true", dest="download_data", default=False)
 
     # TPU-native extras
+    p.add_argument("--profile-dir", default=d.profile_dir, type=str)
     p.add_argument("--data-dir", default=d.data_dir, type=str)
     _add_bool_flag(p, "synthetic-data", d.synthetic_data)
     p.add_argument("--mesh-shape", default="", type=str, help="comma ints, e.g. '8' or '4,2'")

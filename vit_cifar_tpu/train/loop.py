@@ -128,6 +128,14 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
               f"steps/epoch: {steps_per_epoch}")
     logger.log(0, 0, trainable_params=n_params, total_params=n_params)
 
+    # model summary at fit start (network.py:124-132)
+    from ..utils.observability import log_histograms, model_summary
+
+    summary = model_summary(state.params, cfg.model_summary_depth)
+    logger.log_text("model_summary.txt", summary)
+    if verbose:
+        print(summary)
+
     # --- device-resident data ------------------------------------------------
     repl = replicated_sharding(mesh)
     x_train = jax.device_put(train_x, repl)
@@ -174,6 +182,40 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
     except Exception:
         pass
 
+    # gradient-histogram probe (network.py:335-374; recomputed on a fixed
+    # 10-image probe batch, main.py:187-194, instead of intercepting the hot
+    # step's grads — keeps the train step donation-friendly)
+    jit_grad_probe = None
+    if cfg.log_gradients:
+        from ..data.augment import normalize as _norm
+        from .losses import make_criterion as _mk_crit
+
+        _probe_criterion = _mk_crit(cfg.replace(criterion="ce"))
+        probe_img = jax.device_put(
+            _norm(jnp.asarray(train_x[:10]), cfg.mean, cfg.std).astype(
+                cfg.compute_dtype
+            ),
+            repl,
+        )
+        probe_label = jax.device_put(jnp.asarray(train_y[:10]), repl)
+
+        def _grad_probe(params, model_state):
+            def loss_fn(p):
+                logits = model.apply(
+                    {"params": p, **model_state}, probe_img, deterministic=True,
+                    rngs={"mask": jax.random.PRNGKey(0)},
+                )
+                return _probe_criterion(logits, probe_label, {})
+
+            return jax.grad(loss_fn)(params)
+
+        jit_grad_probe = jax.jit(_grad_probe)
+
+    # histogram cadence: the reference only emits histograms to Comet
+    # (network.py:229); the CSV path here writes .npz snapshots on a bounded
+    # cadence instead of never
+    hist_every = 1 if cfg.comet_api_key else max(1, cfg.max_epochs // 10)
+
     ckpt = BestCheckpointer(cfg.ckpt_dir, experiment, cfg)
     perm_key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -198,8 +240,16 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
         ep_loss, ep_acc = 0.0, 0.0
         t_ep = time.time()
         metrics = None
+        # jax.profiler capture of a steady-state slice (SURVEY §5 TPU equiv)
+        profile_this_epoch = bool(cfg.profile_dir) and epoch == min(1, max_epochs - 1)
+        if profile_this_epoch:
+            jax.profiler.start_trace(cfg.profile_dir)
         for i in range(epoch_steps):
             state, metrics = jit_train_step(state, x_train, y_train, perm, i)
+            if profile_this_epoch and i == min(19, epoch_steps - 1):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_this_epoch = False
         # one sync per epoch: pull the last step's metrics
         metrics = jax.device_get(metrics)
         images_seen += epoch_steps * cfg.batch_size
@@ -210,6 +260,13 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
             raise ValueError(
                 f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
             )
+
+        # epoch-end histograms (network.py:229-323): weights + gradients
+        if cfg.log_weights and not cfg.dry_run and epoch % hist_every == 0:
+            log_histograms(logger, state.params, "weights", int(epoch), epoch)
+        if jit_grad_probe is not None and not cfg.dry_run and epoch % hist_every == 0:
+            grads = jit_grad_probe(state.params, state.model_state)
+            log_histograms(logger, grads, "grads", int(epoch), epoch)
 
         val_loss, val_acc = run_eval(state)
         lr_now = float(lr_sched(epoch * steps_per_epoch + 1)) if lr_sched else cfg.lr
@@ -222,6 +279,8 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
             epoch_time=round(ep_time, 3),
             images_per_sec=round(epoch_steps * cfg.batch_size / max(ep_time, 1e-9), 1),
         )
+        if "unsupervised_loss" in metrics:
+            row["unsupervised_loss"] = float(metrics["unsupervised_loss"])
         history.append(row)
         logger.log(int(jax.device_get(state.step)), epoch, **row)
         logger.flush()
