@@ -58,9 +58,12 @@ def main():
     state = init_state(cfg, model, tx, sample)
 
     repl = replicated_sharding(mesh)
-    x_all = jax.device_put(raw.x_train, repl)
+    # flat layout: see train_step's HBM-layout note (4D uint8 can trigger a
+    # whole-dataset relayout copy every step)
+    x_all = jax.device_put(raw.x_train.reshape(len(raw.x_train), -1), repl)
     y_all = jax.device_put(raw.y_train, repl)
-    perm = jax.device_put(np.arange(len(raw.x_train), dtype=np.int32), repl)
+    rng = np.random.default_rng(0)
+    perm = jax.device_put(rng.permutation(len(raw.x_train)).astype(np.int32), repl)
 
     step_fn = jax.jit(make_train_step(cfg, model, tx, mesh=mesh), donate_argnums=(0,))
 
