@@ -173,6 +173,9 @@ class Config:
     mesh_axes: tuple[str, ...] = ("data",)
     donate_buffers: bool = True
     remat: bool = False  # jax.checkpoint the encoder stack
+    # pre-augment the whole dataset once per epoch instead of inside the
+    # train step (same distribution; trades step work for an epoch-level pass)
+    preaugment_epoch: bool = False
     device_data: bool = True  # keep the full dataset resident in HBM
 
     # ------------------------------------------------------------------ #

@@ -157,10 +157,30 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
     # multi-ms fixed cost on this TPU runtime (measured: 8.5 ms/step in scan
     # vs 1.5 ms/step dispatched), so the epoch runs as N async per-step
     # dispatches — the host stays ~380 steps ahead and the device never idles.
-    train_step = make_train_step(cfg, model, tx, mesh=mesh)
+    train_step = make_train_step(
+        cfg, model, tx, mesh=mesh, pre_augmented=cfg.preaugment_epoch
+    )
     jit_train_step = jax.jit(
         train_step, donate_argnums=(0,) if cfg.donate_buffers else ()
     )
+
+    # optional per-epoch whole-dataset augmentation (augment.augment_dataset)
+    jit_augment = None
+    if cfg.preaugment_epoch:
+        from ..data.augment import augment_dataset
+        from ..data.autoaugment import policy_for_dataset
+
+        aa_policy = policy_for_dataset(cfg.dataset) if cfg.autoaugment else None
+        jit_augment = jax.jit(
+            lambda key, xs: augment_dataset(
+                key, xs,
+                img_shape=(cfg.img_size, cfg.img_size, cfg.in_c),
+                padding=cfg.padding,
+                flip=(cfg.dataset != "svhn"),
+                autoaugment_policy=aa_policy,
+            ),
+            out_shardings=repl,
+        )
 
     eval_step = make_eval_step(cfg, model)
 
@@ -257,15 +277,17 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
 
     for epoch in range(max_epochs):
         perm_key, k = jax.random.split(perm_key)
-        perm = jit_perm(k)
+        k_perm, k_aug = jax.random.split(k)
+        perm = jit_perm(k_perm)
         t_ep = time.time()
+        x_epoch = jit_augment(k_aug, x_train) if jit_augment is not None else x_train
         # jax.profiler capture of one steady-state epoch (SURVEY §5 TPU equiv)
         profile_this_epoch = bool(cfg.profile_dir) and epoch == min(1, max_epochs - 1)
         if profile_this_epoch:
             jax.profiler.start_trace(cfg.profile_dir)
         metrics = None
         for i in range(epoch_steps):
-            state, metrics = jit_train_step(state, x_train, y_train, perm, i)
+            state, metrics = jit_train_step(state, x_epoch, y_train, perm, i)
         metrics = jax.device_get(metrics)  # last step's metrics; also syncs
         if profile_this_epoch:
             jax.profiler.stop_trace()

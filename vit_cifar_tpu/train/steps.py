@@ -54,7 +54,7 @@ def _collect_ae_terms(intermediates) -> list:
     return terms
 
 
-def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
+def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = False) -> Callable:
     """Build the jittable train step.
 
     Signature: ``(state, x_all, y_all, perm, i) -> (state, metrics)`` where
@@ -97,15 +97,18 @@ def make_train_step(cfg: Config, model, tx, mesh=None) -> Callable:
 
         # --- on-device augmentation (host transforms in the reference,
         #     utils.py:337-367; same order: crop -> flip -> autoaugment ->
-        #     normalize -> rcpaste) ---
-        img = augment.random_crop_flip(
-            key=k_crop, x=img, padding=cfg.padding, flip=(cfg.dataset != "svhn")
-        )
-        if cfg.autoaugment:
-            from ..data.autoaugment import autoaugment_batch, policy_for_dataset
+        #     normalize -> rcpaste).  With pre_augmented=True, crop/flip/AA
+        #     already ran once per epoch over the whole dataset
+        #     (augment.augment_dataset) and the step stays minimal. ---
+        if not pre_augmented:
+            img = augment.random_crop_flip(
+                key=k_crop, x=img, padding=cfg.padding, flip=(cfg.dataset != "svhn")
+            )
+            if cfg.autoaugment:
+                from ..data.autoaugment import autoaugment_batch, policy_for_dataset
 
-            k_crop, k_aa = jax.random.split(k_crop)
-            img = autoaugment_batch(k_aa, img, policy_for_dataset(cfg.dataset))
+                k_crop, k_aa = jax.random.split(k_crop)
+                img = autoaugment_batch(k_aa, img, policy_for_dataset(cfg.dataset))
         img = augment.normalize(img, cfg.mean, cfg.std)
         if cfg.rcpaste:
             img = augment.random_crop_paste(k_rcp, img)
