@@ -64,6 +64,9 @@ MODEL_NAMES = (
     "ae",
     "ae_baseline",
     "linear",
+    # in the reference factory (utils.py:323) but not its CLI choices;
+    # exposed here since the working equivalent actually runs
+    "cnn_baseline",
 )
 
 
