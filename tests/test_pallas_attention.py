@@ -1,0 +1,49 @@
+"""Pallas fused attention vs the einsum reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cifar_tpu.ops.attention import MultiHeadSelfAttention
+from vit_cifar_tpu.ops.pallas.attention import fused_attention
+
+
+def _ref(q, k, v, scale):
+    logits = jnp.einsum("bhif,bhjf->bhij", q, k) * scale
+    attn = jax.nn.softmax(logits, -1)
+    return jnp.einsum("bhij,bhjf->bihf", attn, v)
+
+
+def test_fused_attention_matches_einsum():
+    B, H, T, D = 2, 4, 9, 16  # odd T exercises the padding/masking path
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(H * D)
+    out = fused_attention(q, k, v, scale)
+    ref = _ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_grad_matches():
+    B, H, T, D = 1, 2, 7, 8
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+               for _ in range(3))
+    scale = 0.1
+    g_p = jax.grad(lambda a: jnp.sum(fused_attention(a, k, v, scale) ** 2))(q)
+    g_r = jax.grad(lambda a: jnp.sum(_ref(a, k, v, scale) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mhsa_module_pallas_path():
+    m = MultiHeadSelfAttention(features=32, head=4, use_pallas=True)
+    m_ref = MultiHeadSelfAttention(features=32, head=4, use_pallas=False)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 9, 32)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out_p = m.apply(variables, x, deterministic=True)
+    out_r = m_ref.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-5)

@@ -54,7 +54,7 @@ class MultiHeadSelfAttention(nn.Module):
         if self.use_pallas and not self.save_attn_map:
             from .pallas.attention import fused_attention
 
-            out = fused_attention(q, k, v, scale=1.0 / float(self.features**0.5))
+            out = fused_attention(q, k, v, 1.0 / float(self.features**0.5))
         else:
             # (B,H,T,T) logits; full-dim scale per layers.py:97
             logits = jnp.einsum("bhif,bhjf->bhij", q, k) / sqrt_d
