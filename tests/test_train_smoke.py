@@ -122,3 +122,28 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_nonfinite_guard_skips_update():
+    """A poisoned parameter makes loss/grads non-finite; the guard must leave
+    params and optimizer state untouched instead of spreading NaN."""
+    cfg = Config(**SMALL)
+    model, state, x_all, y_all, step = _setup(cfg)
+    bad_params = jax.tree_util.tree_map(np.asarray, state.params)
+    bad_params["emb"]["kernel"] = bad_params["emb"]["kernel"] + np.inf
+    state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, bad_params))
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    new_state, metrics = step(state, x_all, y_all, perm, 0)
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    # every parameter bit-identical to before (update skipped)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nonfinite_guard_passes_clean_steps():
+    cfg = Config(**SMALL)
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    state, metrics = step(state, x_all, y_all, perm, 0)
+    assert float(metrics["skipped_nonfinite"]) == 0.0

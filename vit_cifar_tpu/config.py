@@ -179,6 +179,9 @@ class Config:
     # pre-augment the whole dataset once per epoch instead of inside the
     # train step (same distribution; trades step work for an epoch-level pass)
     preaugment_epoch: bool = False
+    # skip optimizer updates on non-finite loss/grads (torch-AMP-style inf
+    # skip; the reference's AE update has the same guard, layers.py:1071-1072)
+    nonfinite_guard: bool = True
     device_data: bool = True  # keep the full dataset resident in HBM
 
     # ------------------------------------------------------------------ #

@@ -73,6 +73,11 @@ class GatedNNMF(nn.Module):
                 number_of_iterations=self.md_iter,
                 w_trainable=self.train_bases,
                 local_learning=self.local_learning,
+                # hardcoded in the reference (layers.py:399-400); the gradient
+                # max-normalization is what keeps trainable NNMF from blowing
+                # up (without it, params go NaN within ~50 steps)
+                keep_last_grad_scale=True,
+                disable_scale_grade=False,
                 dtype=self.dtype,
                 name="NNMF",
             )(z2[:, None, :, :], deterministic=deterministic)
@@ -90,6 +95,8 @@ class GatedNNMF(nn.Module):
                 number_of_iterations=self.md_iter,
                 w_trainable=self.train_bases,
                 local_learning=self.local_learning,
+                keep_last_grad_scale=True,  # layers.py:439-440
+                disable_scale_grade=False,
                 dtype=self.dtype,
                 name="NNMF",
             )(z2[:, None, :, :], deterministic=deterministic)

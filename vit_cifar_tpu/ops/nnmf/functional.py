@@ -41,9 +41,17 @@ Gradient post-processing preserved:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# NNMF_DEBUG=1 prints cotangent/grad statistics from inside the custom VJP
+# (requires a runtime with host callbacks; the axon relay lacks them)
+_DEBUG = bool(os.environ.get("NNMF_DEBUG"))
+# diagnostic switches: zero out non-finite values at the bwd entry / exit
+_SAN_G = bool(os.environ.get("NNMF_SANITIZE_G"))
+_SAN_OUT = bool(os.environ.get("NNMF_SANITIZE_OUT"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,6 +96,14 @@ def make_nnmf_op(
         inp, w, h = res
         B, C, P = inp.shape
 
+        if _DEBUG:
+            jax.debug.print(
+                "nnmf-bwd g: min {} max {} nonfinite {}",
+                g.min(), g.max(), jnp.sum(~jnp.isfinite(g)),
+            )
+        if _SAN_G:
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+
         if scale_grad:
             # max(|g|max, stored_scale=-1.0) == |g|max (see module docstring)
             scale = jnp.maximum(jnp.abs(g).max(), 1e-20)
@@ -115,6 +131,15 @@ def make_nnmf_op(
         if clamp_grad:
             grad_input = jnp.clip(grad_input, -5.0, 5.0)
             grad_w = jnp.clip(grad_w, -5.0, 5.0)
+
+        if _DEBUG:
+            jax.debug.print(
+                "nnmf-bwd grad_w: min {} max {} nonfinite {} | grad_input nonfinite {}",
+                grad_w.min(), grad_w.max(), jnp.sum(~jnp.isfinite(grad_w)),
+                jnp.sum(~jnp.isfinite(grad_input)),
+            )
+        if _SAN_OUT:
+            grad_w = jnp.where(jnp.isfinite(grad_w), grad_w, 0.0)
 
         return grad_input, grad_w
 

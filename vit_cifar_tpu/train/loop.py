@@ -19,6 +19,7 @@ state are updated in place in HBM.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any
 
@@ -136,6 +137,26 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
     if verbose:
         print(summary)
 
+    # one-time input-grid image (network.py:397-452 `_log_image` equivalent;
+    # like the reference, skipped on dry runs)
+    if not cfg.dry_run:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(2, 5, figsize=(8, 3.5))
+            for i, ax in enumerate(axes.flat):
+                ax.imshow(train_x[i])
+                ax.set_xticks([])
+                ax.set_yticks([])
+            fig.tight_layout()
+            fig.savefig(os.path.join(logger.dir, "input_grid.png"), dpi=100)
+            plt.close(fig)
+        except Exception as e:  # matplotlib issues must never kill training
+            print(f"[vit_cifar_tpu] input grid logging failed: {e}")
+
     # --- device-resident data (stored FLAT: see train_step layout note) -----
     repl = replicated_sharding(mesh)
     x_train = jax.device_put(train_x.reshape(len(train_x), -1), repl)
@@ -217,15 +238,19 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
         )
     )
 
-    lr_sched = None
-    try:
-        from .optim import warmup_cosine_epoch_schedule
+    from .optim import warmup_cosine_epoch_schedule
 
-        lr_sched = warmup_cosine_epoch_schedule(
-            cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+    lr_sched = warmup_cosine_epoch_schedule(
+        cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+    )
+    # second param group (NNMF weights) when using madam (network.py:98-105)
+    lr_sched_nnmf = (
+        warmup_cosine_epoch_schedule(
+            cfg.lr_nnmf, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
         )
-    except Exception:
-        pass
+        if cfg.optimizer == "madam"
+        else None
+    )
 
     # gradient-histogram probe (network.py:335-374; recomputed on a fixed
     # 10-image probe batch, main.py:187-194, instead of intercepting the hot
@@ -310,7 +335,7 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
         t_eval = time.time()
         val_loss, val_acc = run_eval(state)
         eval_time = time.time() - t_eval
-        lr_now = float(lr_sched(epoch * steps_per_epoch + 1)) if lr_sched else cfg.lr
+        lr_now = float(lr_sched(epoch * steps_per_epoch + 1))
         row = dict(
             loss=float(metrics["loss"]),
             acc=float(metrics["acc"]),
@@ -321,6 +346,8 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
             eval_time=round(eval_time, 3),
             images_per_sec=round(epoch_steps * cfg.batch_size / max(ep_time, 1e-9), 1),
         )
+        if lr_sched_nnmf is not None:
+            row["lr_1"] = float(lr_sched_nnmf(epoch * steps_per_epoch + 1))
         if "unsupervised_loss" in metrics:
             row["unsupervised_loss"] = float(metrics["unsupervised_loss"])
         history.append(row)

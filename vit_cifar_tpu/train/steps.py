@@ -168,10 +168,42 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
             loss_fn, has_aux=True
         )(state.params)
 
+        skipped = jnp.zeros((), jnp.float32)
+        if cfg.nonfinite_guard:
+            # Skip the update when loss or any gradient is non-finite — the
+            # torch-AMP inf-skip pattern (the reference does the same for its
+            # AE inner update, layers.py:1071-1072, and otherwise aborts on
+            # the epoch-end NaN scan).  Sporadic non-finite grads have been
+            # observed from specific compiled graphs on this TPU runtime.
+            grads_ok = jax.tree_util.tree_reduce(
+                jnp.logical_and,
+                jax.tree_util.tree_map(
+                    lambda g: jnp.all(jnp.isfinite(g)), grads
+                ),
+                jnp.isfinite(loss),
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads
+            )
+            skipped = 1.0 - grads_ok.astype(jnp.float32)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), state.params, updates
         )
+        if cfg.nonfinite_guard:
+            # zeroed grads still move adam/madam moments; keep the old state
+            # entirely on skipped steps
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(skipped > 0, old, new),
+                new_params, state.params,
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(skipped > 0, old, new)
+                if hasattr(new, "shape") and getattr(new, "shape", None) == getattr(old, "shape", None)
+                else new,
+                new_opt_state, state.opt_state,
+            )
 
         # NNMF weight after-care: norm -> clamp -> norm after every optimizer
         # step (network.py:380-386); no-op unless trainable NNMF weights exist.
@@ -185,6 +217,8 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
 
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == label)
         metrics = {"loss": loss, "acc": acc}
+        if cfg.nonfinite_guard:
+            metrics["skipped_nonfinite"] = skipped
 
         # AE-internal optimizer steps (network.py:172-178)
         new_ae_opt_state = state.ae_opt_state
