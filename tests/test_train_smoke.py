@@ -147,3 +147,11 @@ def test_nonfinite_guard_passes_clean_steps():
     perm = jnp.arange(len(x_all), dtype=jnp.int32)
     state, metrics = step(state, x_all, y_all, perm, 0)
     assert float(metrics["skipped_nonfinite"]) == 0.0
+
+
+def test_train_step_with_rcpaste():
+    cfg = Config(**{**SMALL, "rcpaste": True})
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    state, metrics = step(state, x_all, y_all, perm, 0)
+    assert np.isfinite(float(metrics["loss"]))
