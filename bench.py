@@ -67,19 +67,30 @@ def main():
 
     step_fn = jax.jit(make_train_step(cfg, model, tx, mesh=mesh), donate_argnums=(0,))
 
-    # warmup / compile
-    for i in range(3):
-        state, metrics = step_fn(state, x_all, y_all, perm, i)
-    jax.block_until_ready(metrics["loss"])
+    def timed_window(state, n_steps):
+        t0 = time.perf_counter()
+        metrics = None
+        for i in range(n_steps):
+            state, metrics = step_fn(state, x_all, y_all, perm, i % steps_per_epoch)
+        jax.block_until_ready(metrics["loss"])
+        return state, time.perf_counter() - t0
 
-    n_steps = 100
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step_fn(state, x_all, y_all, perm, i % steps_per_epoch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # Warm up past the cold-executable slow mode: the FIRST several
+    # executions of a freshly compiled TPU executable can run 20-50x slow
+    # before settling (observed on this runtime; see CLAUDE.md).  Run 50-step
+    # timed windows until two consecutive windows agree within 5% (or the
+    # attempt cap is hit), then report the best stable window.
+    window = 50
+    times = []
+    state, _ = timed_window(state, 3)  # compile + first dispatches
+    for _ in range(12):
+        state, dt = timed_window(state, window)
+        times.append(dt)
+        if len(times) >= 2 and abs(times[-1] - times[-2]) <= 0.05 * min(times[-2:]):
+            break
+    dt = min(times[-2:]) if len(times) >= 2 else times[-1]
 
-    img_per_sec = n_steps * cfg.batch_size / dt
+    img_per_sec = window * cfg.batch_size / dt
     per_chip = img_per_sec / n_chips
     print(
         json.dumps(
