@@ -170,10 +170,22 @@ class Config:
     # module attribute post-hoc; here it is part of the (immutable) config
     save_attn_map: bool = False
     profile_dir: str = ""  # jax.profiler trace output (TPU equiv of SURVEY §5)
+    # resume training from a checkpoint dir (Lightning embeds optimizer and
+    # scheduler state in its checkpoints, reference main.py:234-236; ours
+    # carries the full TrainState so a killed run continues seamlessly)
+    resume: str = ""
 
     # -- TPU-native knobs (no reference equivalent) ----------------------------
     mesh_shape: tuple[int, ...] = ()  # () -> all devices on the data axis
     mesh_axes: tuple[str, ...] = ("data",)
+    # multi-host (DCN): jax.distributed.initialize before building the mesh —
+    # the TPU-native equivalent of Lightning's multi-node trainer (SURVEY §2.9)
+    multihost: bool = False
+    # semi-supervised epoch pacing: the reference's CombinedLoader paces an
+    # epoch by the LARGER (unlabeled) loader (utils.py:419-436), so the 4,000
+    # labeled images repeat ~11x per epoch (reshuffled each pass).  False = one
+    # pass over the labeled split per epoch (10x fewer steps, same curve shape).
+    ss_combined_epoch: bool = True
     donate_buffers: bool = True
     remat: bool = False  # jax.checkpoint the encoder stack
     # pre-augment the whole dataset once per epoch instead of inside the
@@ -330,11 +342,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow-download", action="store_true", dest="download_data", default=False)
 
     # TPU-native extras
+    p.add_argument("--resume", default=d.resume, type=str,
+                   help="checkpoint dir to resume training from")
     p.add_argument("--profile-dir", default=d.profile_dir, type=str)
     p.add_argument("--data-dir", default=d.data_dir, type=str)
     _add_bool_flag(p, "synthetic-data", d.synthetic_data)
     p.add_argument("--mesh-shape", default="", type=str, help="comma ints, e.g. '8' or '4,2'")
     p.add_argument("--mesh-axes", default=",".join(d.mesh_axes), type=str)
+    _add_bool_flag(p, "multihost", d.multihost)
+    p.add_argument("--no-ss-combined-epoch", action="store_false",
+                   dest="ss_combined_epoch", default=True)
     p.add_argument("--no-donate", action="store_false", dest="donate_buffers", default=True)
     _add_bool_flag(p, "remat", d.remat)
     p.add_argument("--no-device-data", action="store_false", dest="device_data", default=True)

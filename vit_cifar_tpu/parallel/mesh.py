@@ -17,9 +17,55 @@ reference has no TP to match — SURVEY.md §2.9).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Multi-host (DCN) initialization — the TPU-native equivalent of
+    Lightning's multi-node story (SURVEY §2.9/§5).
+
+    Calls ``jax.distributed.initialize``; on Cloud TPU pods the coordinator /
+    process count / process id are auto-detected from the TPU metadata, so all
+    arguments may be None.  For manual clusters, pass them or set
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``.
+
+    After this, ``jax.devices()`` spans every host's chips and the SAME mesh /
+    NamedSharding code path used single-host works across hosts — DP gradient
+    psums ride ICI within a pod slice and DCN across slices, with no code
+    change (mesh axes are logical).  Returns process topology info.
+
+    Idempotent: safe to call when already initialized or single-process.
+    """
+    kw = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw["coordinator_address"] = addr
+    nproc = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    if nproc:
+        kw["num_processes"] = int(nproc)
+    pid = process_id if process_id is not None else os.environ.get("JAX_PROCESS_ID")
+    if pid is not None:
+        kw["process_id"] = int(pid)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:
+        # already initialized, or single-process with no coordinator
+        if "already" not in str(e).lower() and kw:
+            raise
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+    }
 
 
 def make_mesh(mesh_shape=(), mesh_axes=("data",), devices=None) -> Mesh:

@@ -68,15 +68,19 @@ def save_checkpoint(path: str, payload: dict[str, Any], cfg: Config):
         f.write(cfg.to_json())
 
 
-def load_checkpoint(path: str, target=None) -> tuple[dict[str, Any], Config]:
-    """Restore (payload, cfg).  ``target`` is an example pytree for structure."""
+def load_checkpoint(path: str, target=None, prefer: str = "best") -> tuple[dict[str, Any], Config]:
+    """Restore (payload, cfg).  ``target`` is an example pytree for structure.
+
+    ``prefer`` picks between the BestCheckpointer's 'best' and 'last' states
+    (analysis wants best; training resume wants last)."""
     path = _abspath(path)
     with open(os.path.join(path, "config.json")) as f:
         cfg = Config.from_json(f.read())
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(path, "state")
     if not os.path.exists(state_path):  # BestCheckpointer layout
-        for name in ("best", "last"):
+        order = ("best", "last") if prefer == "best" else ("last", "best")
+        for name in order:
             cand = os.path.join(path, name)
             if os.path.exists(cand):
                 state_path = cand

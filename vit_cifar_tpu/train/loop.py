@@ -74,6 +74,42 @@ def init_state(cfg: Config, model, tx, sample_input) -> TrainState:
     )
 
 
+def _full_payload(state: TrainState, epoch: int) -> dict[str, Any]:
+    """Everything needed to resume seamlessly — parity with Lightning
+    checkpoints, which embed optimizer + scheduler state (main.py:234-236).
+    The LR phase needs no extra state: the schedule is a pure function of the
+    restored step counter (train/optim.py)."""
+    payload = {
+        "params": jax.device_get(state.params),
+        "model_state": jax.device_get(state.model_state),
+        "opt_state": jax.device_get(state.opt_state),
+        "rng": jax.device_get(state.rng),
+        "step": int(jax.device_get(state.step)),
+        "epoch": epoch,
+    }
+    if state.ae_opt_state is not None:
+        payload["ae_opt_state"] = jax.device_get(state.ae_opt_state)
+    return payload
+
+
+def _restore_state(cfg: Config, state: TrainState):
+    """Load cfg.resume into a freshly initialized TrainState (the init gives
+    orbax the target structure).  Returns (state, start_epoch)."""
+    from .checkpoint import load_checkpoint
+
+    target = _full_payload(state, 0)
+    payload, _ = load_checkpoint(cfg.resume, target=target, prefer="last")
+    state = state.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=payload["params"],
+        model_state=payload["model_state"],
+        opt_state=payload["opt_state"],
+        ae_opt_state=payload.get("ae_opt_state", state.ae_opt_state),
+        rng=payload["rng"],
+    )
+    return state, int(payload["epoch"]) + 1
+
+
 def _pad_eval(x: np.ndarray, y: np.ndarray, batch: int):
     """Pad eval data to a whole number of batches; returns (x, y, mask)."""
     n = len(x)
@@ -86,10 +122,20 @@ def _pad_eval(x: np.ndarray, y: np.ndarray, batch: int):
     return x, y, mask, steps
 
 
-def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
+def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> dict[str, Any]:
+    """Run training.  ``stop_after`` interrupts after that (absolute) epoch
+    index has finished — simulates preemption for checkpoint-resume testing
+    without changing the LR schedule (which depends on max_epochs)."""
     jax.config.update(
         "jax_default_matmul_precision", MATMUL_PRECISION[cfg.matmul_precision]
     )
+
+    if cfg.multihost:
+        from ..parallel.mesh import initialize_multihost
+
+        topo = initialize_multihost()
+        if verbose:
+            print(f"[multihost] {topo}")
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     n_dev = int(np.prod(mesh.devices.shape))
@@ -110,9 +156,20 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
         splits = semi_supervised_split(raw)
         train_x, train_y = splits["labeled"]
         test_x, test_y = splits["test"]
+        # CombinedLoader pacing (utils.py:419-436): the reference's epoch is
+        # paced by the LARGER (unlabeled) loader, so the labeled split repeats
+        # ~|unlabeled|/|labeled| times per epoch, reshuffled each pass.  (The
+        # unlabeled batches themselves feed a no-op hook, network.py:213-214,
+        # so there is nothing to compute for them.)
+        epoch_passes = (
+            max(1, len(splits["unlabeled"][0]) // len(train_x))
+            if cfg.ss_combined_epoch
+            else 1
+        )
     else:
         train_x, train_y = raw.x_train, raw.y_train
         test_x, test_y = raw.x_test, raw.y_test
+        epoch_passes = 1
     experiment = get_experiment_name(cfg)
     logger = make_logger(cfg, experiment)
     logger.log_text("config.json", cfg.to_json())
@@ -123,6 +180,11 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
 
     sample = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.in_c), cfg.compute_dtype)
     state = init_state(cfg, model, tx, sample)
+    start_epoch = 0
+    if cfg.resume:
+        state, start_epoch = _restore_state(cfg, state)
+        if verbose:
+            print(f"[resume] restored {cfg.resume}, continuing at epoch {start_epoch}")
     n_params = count_params(state.params)
     if verbose:
         print(f"[{experiment}] params: {n_params:,} | devices: {n_dev} | "
@@ -136,6 +198,20 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
     logger.log_text("model_summary.txt", summary)
     if verbose:
         print(summary)
+
+    # model-graph artifact (the torchview.draw_graph equivalent,
+    # network.py:397-452): a structural module/shape table via nn.tabulate
+    try:
+        import flax.linen as fnn
+
+        k = jax.random.PRNGKey(0)
+        graph = fnn.tabulate(
+            model, {"params": k, "dropout": k, "mask": k},
+            depth=4, console_kwargs={"width": 160},
+        )(sample, deterministic=True)
+        logger.log_text("model_graph.txt", graph)
+    except Exception as e:  # rendering must never kill training
+        print(f"[vit_cifar_tpu] model graph logging failed: {e}")
 
     # one-time input-grid image (network.py:397-452 `_log_image` equivalent;
     # like the reference, skipped on dry runs)
@@ -167,6 +243,16 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
     x_test = jax.device_put(x_test_np.reshape(len(x_test_np), -1), repl)
     y_test = jax.device_put(y_test_np, repl)
     eval_mask = jax.device_put(eval_mask_np, repl)
+
+    # epoch-mean metric accumulator, updated inside the jitted step (the
+    # reference logs loss/acc per step and Lightning averages them per epoch,
+    # network.py:206-208 — a last-batch sample would make the curves noisy)
+    from .steps import make_metrics_zeros
+
+    state = state.replace(metrics_acc=jax.device_put(make_metrics_zeros(cfg), repl))
+    jit_zero_acc = jax.jit(
+        lambda t: jax.tree_util.tree_map(jnp.zeros_like, t), out_shardings=repl
+    )
 
     # --- compiled functions ----------------------------------------------------
     max_epochs = 1 if cfg.dry_run else cfg.max_epochs
@@ -252,22 +338,27 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
         else None
     )
 
-    # gradient-histogram probe (network.py:335-374; recomputed on a fixed
-    # 10-image probe batch, main.py:187-194, instead of intercepting the hot
-    # step's grads — keeps the train step donation-friendly)
+    # the fixed 10-image probe batch (main.py:187-194 `_sample_input_data`):
+    # used for the per-epoch layer-output/AE-input histograms and the
+    # step-cadence gradient histograms
+    from ..data.augment import normalize as _norm
+
+    probe_img = jax.device_put(
+        _norm(jnp.asarray(train_x[:10]), cfg.mean, cfg.std).astype(
+            cfg.compute_dtype
+        ),
+        repl,
+    )
+    probe_label = jax.device_put(jnp.asarray(train_y[:10]), repl)
+
+    # gradient-histogram probe (network.py:335-374; recomputed on the probe
+    # batch instead of intercepting the hot step's grads — keeps the train
+    # step donation-friendly)
     jit_grad_probe = None
     if cfg.log_gradients:
-        from ..data.augment import normalize as _norm
         from .losses import make_criterion as _mk_crit
 
         _probe_criterion = _mk_crit(cfg.replace(criterion="ce"))
-        probe_img = jax.device_put(
-            _norm(jnp.asarray(train_x[:10]), cfg.mean, cfg.std).astype(
-                cfg.compute_dtype
-            ),
-            repl,
-        )
-        probe_label = jax.device_put(jnp.asarray(train_y[:10]), repl)
 
         def _grad_probe(params, model_state):
             def loss_fn(p):
@@ -288,10 +379,13 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
 
     ckpt = BestCheckpointer(cfg.ckpt_dir, experiment, cfg)
     perm_key = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(start_epoch):  # replay the per-epoch key stream on resume
+        perm_key, _ = jax.random.split(perm_key)
 
     history = []
     t_start = time.time()
     images_seen = 0
+    last_epoch = max_epochs - 1
 
     def run_eval(state):
         sums = jax.device_get(jit_eval_all(state.params, state.model_state))
@@ -300,23 +394,39 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
             float(sums["correct_sum"]) / float(sums["count"]),
         )
 
-    for epoch in range(max_epochs):
+    passes = 1 if cfg.dry_run else epoch_passes
+    for epoch in range(start_epoch, max_epochs):
         perm_key, k = jax.random.split(perm_key)
-        k_perm, k_aug = jax.random.split(k)
-        perm = jit_perm(k_perm)
+        k_epoch, k_aug = jax.random.split(k)
         t_ep = time.time()
         x_epoch = jit_augment(k_aug, x_train) if jit_augment is not None else x_train
         # jax.profiler capture of one steady-state epoch (SURVEY §5 TPU equiv)
         profile_this_epoch = bool(cfg.profile_dir) and epoch == min(1, max_epochs - 1)
         if profile_this_epoch:
             jax.profiler.start_trace(cfg.profile_dir)
-        metrics = None
-        for i in range(epoch_steps):
-            state, metrics = jit_train_step(state, x_epoch, y_train, perm, i)
-        metrics = jax.device_get(metrics)  # last step's metrics; also syncs
+        # `passes` > 1 only for semi-supervised CombinedLoader pacing: the
+        # labeled split repeats, reshuffled each pass (utils.py:419-436)
+        for p, k_perm in enumerate(jax.random.split(k_epoch, passes)):
+            perm = jit_perm(k_perm)
+            for i in range(epoch_steps):
+                state, _ = jit_train_step(state, x_epoch, y_train, perm, i)
+                # step-cadence gradient histograms (network.py:335-374: every
+                # log_gradients_interval optimizer steps)
+                gstep = (epoch * passes + p) * epoch_steps + i
+                if (
+                    jit_grad_probe is not None
+                    and not cfg.dry_run
+                    and gstep % cfg.log_gradients_interval == 0
+                ):
+                    grads = jit_grad_probe(state.params, state.model_state)
+                    log_histograms(logger, grads, "grads", gstep, epoch)
+        # epoch-mean train metrics (accumulated inside the step); also syncs
+        sums = jax.device_get(state.metrics_acc)
+        metrics = {k: float(v) / (epoch_steps * passes) for k, v in sums.items()}
+        state = state.replace(metrics_acc=jit_zero_acc(state.metrics_acc))
         if profile_this_epoch:
             jax.profiler.stop_trace()
-        images_seen += epoch_steps * cfg.batch_size
+        images_seen += epoch_steps * passes * cfg.batch_size
         ep_time = time.time() - t_ep
 
         # NaN parameter guard (network.py:226-228)
@@ -325,12 +435,20 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
                 f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
             )
 
-        # epoch-end histograms (network.py:229-323): weights + gradients
+        # epoch-end histograms (network.py:229-323): weights, plus every
+        # layer's output on the probe batch — which includes the sown AE
+        # inputs/outputs for the AE family (network.py:293-323)
         if cfg.log_weights and not cfg.dry_run and epoch % hist_every == 0:
             log_histograms(logger, state.params, "weights", int(epoch), epoch)
-        if jit_grad_probe is not None and not cfg.dry_run and epoch % hist_every == 0:
-            grads = jit_grad_probe(state.params, state.model_state)
-            log_histograms(logger, grads, "grads", int(epoch), epoch)
+            try:
+                from ..utils.observability import get_layer_outputs
+
+                outs = get_layer_outputs(
+                    model, {"params": state.params, **state.model_state}, probe_img
+                )
+                log_histograms(logger, outs, "layer_outputs", int(epoch), epoch)
+            except Exception as e:  # IndexError fallback, network.py:259-264
+                print(f"[vit_cifar_tpu] layer-output histograms failed: {e}")
 
         t_eval = time.time()
         val_loss, val_acc = run_eval(state)
@@ -344,12 +462,17 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
             lr_0=lr_now,
             epoch_time=round(ep_time, 3),
             eval_time=round(eval_time, 3),
-            images_per_sec=round(epoch_steps * cfg.batch_size / max(ep_time, 1e-9), 1),
+            images_per_sec=round(
+                epoch_steps * passes * cfg.batch_size / max(ep_time, 1e-9), 1
+            ),
         )
         if lr_sched_nnmf is not None:
             row["lr_1"] = float(lr_sched_nnmf(epoch * steps_per_epoch + 1))
         if "unsupervised_loss" in metrics:
             row["unsupervised_loss"] = float(metrics["unsupervised_loss"])
+        if "skipped_nonfinite" in metrics:
+            # mean skip rate over the epoch (0 in healthy runs)
+            row["skipped_nonfinite"] = float(metrics["skipped_nonfinite"])
         history.append(row)
         logger.log(int(jax.device_get(state.step)), epoch, **row)
         logger.flush()
@@ -361,22 +484,20 @@ def train(cfg: Config, verbose: bool = True) -> dict[str, Any]:
             )
 
         if val_loss < ckpt.best_val_loss:  # build the payload only on improvement
-            payload = {
-                "params": jax.device_get(state.params),
-                "model_state": jax.device_get(state.model_state),
-                "step": int(jax.device_get(state.step)),
-                "epoch": epoch,
-            }
-            ckpt.maybe_save_best(val_loss, epoch, payload)
+            ckpt.maybe_save_best(val_loss, epoch, _full_payload(state, epoch))
+
+        last_epoch = epoch
+        if stop_after is not None and epoch + 1 >= stop_after:
+            break
 
     total_time = time.time() - t_start
-    final_payload = {
-        "params": jax.device_get(state.params),
-        "model_state": jax.device_get(state.model_state),
-        "step": int(jax.device_get(state.step)),
-        "epoch": max_epochs - 1,
-    }
-    ckpt.save_last(final_payload)
+    ckpt.save_last(_full_payload(state, last_epoch))
+    # Comet model upload (main.py:239-242)
+    if getattr(logger, "comet", None) is not None:
+        try:
+            logger.comet.log_model(experiment, ckpt.root)
+        except Exception as e:
+            print(f"[vit_cifar_tpu] comet model upload failed: {e}")
     logger.finalize()
 
     return {

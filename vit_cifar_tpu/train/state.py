@@ -22,3 +22,8 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any  # optax state
     ae_opt_state: Any  # AE-internal optimizer state (layers.py:844) or None
     rng: jnp.ndarray  # base PRNG key; per-step keys are fold_in(rng, step)
+    # running per-epoch metric sums, accumulated INSIDE the jitted step (so
+    # epoch-mean train metrics cost zero extra dispatches — the reference logs
+    # loss/acc per step, network.py:206-208, and Lightning averages them).
+    # None when the caller does not want accumulation (unit tests, bench).
+    metrics_acc: Any = None

@@ -228,38 +228,36 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
             )
             metrics["unsupervised_loss"] = unsup_loss
 
+        # epoch-mean accumulation inside the step (see TrainState.metrics_acc)
+        new_metrics_acc = state.metrics_acc
+        if state.metrics_acc is not None:
+            new_metrics_acc = jax.tree_util.tree_map(
+                lambda a, m: a + m.astype(a.dtype), state.metrics_acc, metrics
+            )
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             ae_opt_state=new_ae_opt_state,
             model_state=new_model_state or state.model_state,
+            metrics_acc=new_metrics_acc,
         )
         return new_state, metrics
 
     return train_step
 
 
-def make_epoch_fn(cfg: Config, model, tx, mesh=None, epoch_steps: int | None = None):
-    """Fuse a whole epoch of train steps into one jitted ``lax.scan``.
+def make_metrics_zeros(cfg: Config):
+    """Zero accumulator matching the train step's metrics structure."""
+    from .unsupervised import uses_unsupervised
 
-    One host->device dispatch per EPOCH instead of per step — the per-step
-    Python dispatch (~1-2 ms) otherwise dominates on a chip that finishes a
-    6.3M-param step in under 2 ms.  Returns
-    ``epoch_fn(state, x_all, y_all, perm) -> (state, mean_metrics)``.
-    """
-    train_step = make_train_step(cfg, model, tx, mesh=mesh)
-
-    def epoch_fn(state, x_all, y_all, perm):
-        def body(carry, i):
-            new_carry, metrics = train_step(carry, x_all, y_all, perm, i)
-            return new_carry, metrics
-
-        state, ms = jax.lax.scan(body, state, jnp.arange(epoch_steps))
-        mean_metrics = jax.tree_util.tree_map(lambda a: a.mean(), ms)
-        return state, mean_metrics
-
-    return epoch_fn
+    z = {"loss": jnp.zeros((), jnp.float32), "acc": jnp.zeros((), jnp.float32)}
+    if cfg.nonfinite_guard:
+        z["skipped_nonfinite"] = jnp.zeros((), jnp.float32)
+    if uses_unsupervised(cfg):
+        z["unsupervised_loss"] = jnp.zeros((), jnp.float32)
+    return z
 
 
 def make_eval_step(cfg: Config, model) -> Callable:
