@@ -124,6 +124,35 @@ def test_ae_model_forward(ae_type):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.parametrize("use_nnmf", [False, True])
+def test_heads_chunked_mask_matches_materialized(use_nnmf):
+    """AEAttentionHeads: the chunked masked-row path (mask_chunk>0) must equal
+    the fully materialized (B,T,h*T,F/h) path bit-for-bit (chunking only
+    changes the order tensors are built, not any arithmetic shape)."""
+    from vit_cifar_tpu.ops.ae_attention import AEAttentionHeads
+
+    kw = dict(features=48, seq_len=9, ffn_features=96, heads=4,
+              ae_hidden_seq_len=4, mask_type="zeros",
+              use_nnmf_layers=use_nnmf, save_attn_map=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, 48)), jnp.float32)
+
+    m_full = AEAttentionHeads(mask_chunk=0, **kw)
+    variables = m_full.init(RNGS, x, deterministic=True)
+    out_full, st_full = m_full.apply(variables, x, deterministic=True,
+                                     mutable=["intermediates"])
+    m_chunk = AEAttentionHeads(mask_chunk=4, **kw)  # ragged: 4+4+1 rows
+    out_chunk, st_chunk = m_chunk.apply(variables, x, deterministic=True,
+                                        mutable=["intermediates"])
+
+    np.testing.assert_allclose(np.asarray(out_chunk), np.asarray(out_full),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_chunk["intermediates"]["attn_map"][0]),
+        np.asarray(st_full["intermediates"]["attn_map"][0]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_ae_model_random_mask_and_chunk():
     cfg = Config(model_name="ae", ae_type="simple", mask_type="random",
                  chunk=True, ae_hidden_features=16, **SMALL)

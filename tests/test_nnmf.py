@@ -18,6 +18,7 @@ from vit_cifar_tpu.ops.nnmf.functional import make_nnmf_op, unfold
 from vit_cifar_tpu.ops.nnmf.layers import (
     AutoNNMFLayer,
     NNMFConv2d,
+    NNMFEncoderDecoder,
     NNMFLinear,
     nnmf_after_care,
 )
@@ -127,6 +128,84 @@ def test_unfold_matches_torch():
     expected = F.unfold(torch.from_numpy(x), kernel_size=(3, 2)).numpy()
     assert expected.shape == (2, CK, Hp * Wp)
     np.testing.assert_allclose(got.reshape(2, CK, -1), expected, rtol=1e-6)
+
+
+def test_fold_matches_torch():
+    """fold == torch F.fold on an overlapping-stride configuration (the
+    general NNMF decode path, AutoNNMFLayer.py:315-329)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    kh, kw, stride, pad = 3, 2, (2, 1), (1, 0)
+    x_shape = (2, 3, 8, 6)
+    Hp = (x_shape[2] + 2 * pad[0] - kh) // stride[0] + 1
+    Wp = (x_shape[3] + 2 * pad[1] - kw) // stride[1] + 1
+    patches = rng.normal(size=(2, 3 * kh * kw, Hp, Wp)).astype(np.float32)
+    from vit_cifar_tpu.ops.nnmf.functional import fold
+
+    got = np.asarray(
+        fold(jnp.asarray(patches), (8, 6), (kh, kw), stride, pad)
+    )
+    expected = F.fold(
+        torch.from_numpy(patches.reshape(2, 3 * kh * kw, -1)),
+        output_size=(8, 6), kernel_size=(kh, kw), stride=stride, padding=pad,
+    ).numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_auto_nnmf_general_decode_matches_torch_fold():
+    """AutoNNMFLayer with an overlapping kernel: decode == torch
+    fold(einsum(W_detached, h)) — the conv_transpose2d path the zoo never
+    exercises (AutoNNMFLayer.py:315-329) now works."""
+    import torch
+    import torch.nn.functional as F
+
+    layer = AutoNNMFLayer(
+        number_of_input_neurons=2,
+        number_of_neurons=6,
+        input_size=(8, 6),
+        forward_kernel_size=(3, 3),
+        strides=(2, 2),
+        padding=(1, 1),
+        number_of_iterations=3,
+        w_trainable=True,
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(np.abs(rng.normal(size=(2, 2, 8, 6))), jnp.float32)
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x)
+    out, state = layer.apply(variables, x, mutable=["intermediates"])
+    assert out.shape == (2, 2, 8, 6)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # independent torch recomputation of the decode from the sown hidden
+    h = np.asarray(state["intermediates"]["hidden_activity"][0])  # (B,M,Hp,Wp)
+    w = np.asarray(variables["params"]["nnmf_weights"])  # (C, M)
+    B, M, Hp, Wp = h.shape
+    decoded = np.einsum("cm,bmhw->bchw", w, h).reshape(B, -1, Hp * Wp)
+    expected = F.fold(
+        torch.from_numpy(decoded), output_size=(8, 6), kernel_size=(3, 3),
+        stride=(2, 2), padding=(1, 1),
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_decoder_general_decode():
+    """NNMFEncoderDecoder with kernel != input_size (conv_transpose2d path,
+    NNMFLayerSbSBP.py:528-547): shape round-trip + finite."""
+    layer = NNMFEncoderDecoder(
+        number_of_input_neurons=1,
+        number_of_neurons=5,
+        input_size=(10, 12),
+        forward_kernel_size=(10, 1),
+        number_of_iterations=3,
+    )
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(3).normal(size=(2, 1, 10, 12))), jnp.float32
+    )
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x)
+    out = layer.apply(variables, x)
+    assert out.shape == (2, 1, 10, 12)
+    assert bool(jnp.all(jnp.isfinite(out)))
 
 
 def test_nnmf_conv2d_layer():

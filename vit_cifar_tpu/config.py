@@ -195,6 +195,9 @@ class Config:
     # skip; the reference's AE update has the same guard, layers.py:1071-1072)
     nonfinite_guard: bool = True
     device_data: bool = True  # keep the full dataset resident in HBM
+    # AEAttentionHeads: rows of the eye-masked (B,T,h*T,F/h) tensor built per
+    # chunk (0 = materialize fully, the reference layout layers.py:862-877)
+    ae_mask_chunk: int = 16
 
     # ------------------------------------------------------------------ #
     @property
@@ -355,6 +358,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-donate", action="store_false", dest="donate_buffers", default=True)
     _add_bool_flag(p, "remat", d.remat)
     p.add_argument("--no-device-data", action="store_false", dest="device_data", default=True)
+    p.add_argument("--ae-mask-chunk", default=d.ae_mask_chunk, type=int,
+                   help="AEAttentionHeads masked-row chunk size (0 = materialize)")
     p.add_argument("--log-dir", default=d.log_dir, type=str)
     p.add_argument("--ckpt-dir", default=d.ckpt_dir, type=str)
     return p

@@ -144,6 +144,7 @@ def _make_mixer(cfg: Config, dtype):
                 use_nnmf_layers=cfg.use_nnmf_layers,
                 nnmf_params=nnmf_params_from_cfg(cfg),
                 save_attn_map=cfg.save_attn_map,
+                mask_chunk=cfg.ae_mask_chunk,
                 dtype=dtype,
             )
         return functools.partial(

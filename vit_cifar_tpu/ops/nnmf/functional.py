@@ -52,6 +52,15 @@ _DEBUG = bool(os.environ.get("NNMF_DEBUG"))
 # diagnostic switches: zero out non-finite values at the bwd entry / exit
 _SAN_G = bool(os.environ.get("NNMF_SANITIZE_G"))
 _SAN_OUT = bool(os.environ.get("NNMF_SANITIZE_OUT"))
+# NNMF_DUMP=<dir>: save each bwd invocation's (inp, w, h, g) to <dir>/bwd_<n>.npz
+_DUMP = os.environ.get("NNMF_DUMP", "")
+
+
+def _dump_cb(inp, w, h, g):
+    import numpy as _np
+
+    n = len([f for f in os.listdir(_DUMP) if f.startswith("bwd_")])
+    _np.savez(os.path.join(_DUMP, f"bwd_{n}.npz"), inp=inp, w=w, h=h, g=g)
 
 
 @functools.lru_cache(maxsize=None)
@@ -103,6 +112,18 @@ def make_nnmf_op(
             )
         if _SAN_G:
             g = jnp.where(jnp.isfinite(g), g, 0.0)
+        if _DUMP:
+            jax.debug.callback(_dump_cb, inp, w, h, g)
+
+        # XLA-fusion guard (do NOT remove): without this barrier, XLA fuses
+        # the forward's L1-normalization of ``inp`` (x / (sum + 1e-20)) into
+        # this backward's renormalization + ratio math and the rewritten
+        # expression produces all-NaN grad_w — with FINITE inputs, on both the
+        # CPU and TPU backends, in fp32 as well as bf16-mixed, while the same
+        # math is finite eagerly.  Repro: tools/repro_nonfinite_fusion.py
+        # (gnnmf_sbs + madam + trainable bases NaNs at step ~9; barrier on
+        # ``inp`` alone fixes it, barriers on ``g`` or ``h`` alone do not).
+        inp = jax.lax.optimization_barrier(inp)
 
         if scale_grad:
             # max(|g|max, stored_scale=-1.0) == |g|max (see module docstring)
@@ -168,6 +189,26 @@ def unfold(x, kernel_size, strides=(1, 1), padding=(0, 0)):
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )  # (B, C*kh*kw, H', W') with channel-major ordering
     return patches
+
+
+def fold(patches, output_size, kernel_size, strides=(1, 1), padding=(0, 0)):
+    """torch ``F.fold`` equivalent: (B, C*kh*kw, Hp, Wp) -> (B, C, H, W) by
+    summing overlapping patches.
+
+    Implemented as the exact adjoint (VJP) of :func:`unfold`, so the
+    channel-major patch layout always matches and XLA lowers it to the
+    transposed convolution.  This is the general NNMF decode the reference
+    reaches via ``F.fold`` (AutoNNMFLayer.py:315-329) / ``conv_transpose2d``
+    (NNMFLayerSbSBP.py:528-547) — both compute fold(sum_m h[m] * W[:, m]).
+    Cross-checked against torch in tests/test_nnmf.py.
+    """
+    B = patches.shape[0]
+    kh, kw = kernel_size
+    C = patches.shape[1] // (kh * kw)
+    H, W = output_size
+    zeros = jnp.zeros((B, C, H, W), patches.dtype)
+    _, vjp = jax.vjp(lambda x: unfold(x, kernel_size, strides, padding), zeros)
+    return vjp(patches)[0]
 
 
 def conv_output_size(size, kernel, stride=(1, 1), padding=(0, 0)):

@@ -135,18 +135,22 @@ class AutoNNMFLayer(NNMFConv2d):
         wd = jax.lax.stop_gradient(w)
         decoded = jnp.einsum("cm,bmp->bcp", wd, h)  # (B, C, P)
 
-        out = self._decode_fold(decoded, B)
+        out = self._decode_fold(decoded, B, (Hp, Wp))
         return out.astype(self.dtype)
 
-    def _decode_fold(self, decoded, B):
-        """Fold the decoded patches back to the input size.
+    def _decode_fold(self, decoded, B, hw):
+        """Fold the decoded patches back to the input size
+        (``F.fold``, AutoNNMFLayer.py:315-329).
 
-        The reference uses conv_transpose2d for the general case
-        (AutoNNMFLayer.py:315-324); the two framings the model zoo exercises
-        both reduce to reshapes (stride 1, no padding, non-overlapping):
+        The two framings the model zoo exercises reduce to reshapes
+        (stride 1, no padding, non-overlapping):
           * kernel == input_size: one patch covering everything (P == 1)
           * kernel == (H, 1) column kernel with 1 input channel: P == W
+        The general overlapping case goes through :func:`fold` (the exact
+        adjoint of unfold — summing overlapping patches).
         """
+        from .functional import fold
+
         kh, kw = self.forward_kernel_size
         H, W = self.input_size
         if (kh, kw) == (H, W):
@@ -156,10 +160,13 @@ class AutoNNMFLayer(NNMFConv2d):
         ) == (1, 1):
             # decoded: (B, C=H, P=W) -> (B, 1, H, W)
             return decoded.reshape(B, 1, H, W)
-        raise NotImplementedError(
-            "AutoNNMFLayer decode for general overlapping kernels "
-            "(conv_transpose2d path, AutoNNMFLayer.py:315-324) — no model in "
-            "the zoo exercises it"
+        Hp, Wp = hw
+        return fold(
+            decoded.reshape(B, -1, Hp, Wp),
+            self.input_size,
+            self.forward_kernel_size,
+            self.strides,
+            self.padding,
         )
 
 
@@ -177,8 +184,17 @@ class NNMFEncoderDecoder(NNMFConv2d):
             decoded = jnp.einsum("bmp,cm->bcp", h, wd)
             out = decoded.reshape(B, self.number_of_input_neurons, *self.input_size)
         else:
-            raise NotImplementedError(
-                "NNMFEncoderDecoder decode with kernel != input_size"
+            # conv_transpose2d decode (NNMFLayerSbSBP.py:528-547) ==
+            # fold(sum_m h[m] * W[:, m]) — same math as the Auto decode
+            from .functional import fold
+
+            decoded = jnp.einsum("cm,bmp->bcp", wd, h)
+            out = fold(
+                decoded.reshape(B, -1, Hp, Wp),
+                self.input_size,
+                self.forward_kernel_size,
+                self.strides,
+                self.padding,
             )
         return out.astype(self.dtype)
 
