@@ -198,6 +198,9 @@ class Config:
     # AEAttentionHeads: rows of the eye-masked (B,T,h*T,F/h) tensor built per
     # chunk (0 = materialize fully, the reference layout layers.py:862-877)
     ae_mask_chunk: int = 16
+    # run adam/sgd on one raveled param vector (bit-identical updates, ~60x
+    # faster optimizer kernels; see train/optim.flatten_transform)
+    flat_optimizer: bool = True
 
     # ------------------------------------------------------------------ #
     @property
@@ -360,6 +363,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-device-data", action="store_false", dest="device_data", default=True)
     p.add_argument("--ae-mask-chunk", default=d.ae_mask_chunk, type=int,
                    help="AEAttentionHeads masked-row chunk size (0 = materialize)")
+    p.add_argument("--no-flat-optimizer", action="store_false",
+                   dest="flat_optimizer", default=True)
     p.add_argument("--log-dir", default=d.log_dir, type=str)
     p.add_argument("--ckpt-dir", default=d.ckpt_dir, type=str)
     return p

