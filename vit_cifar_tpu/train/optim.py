@@ -82,6 +82,13 @@ def _nnmf_param_label(path: tuple) -> str:
     return "nnmf" if ("nnmf" in flat or "_weights" in flat) else "other"
 
 
+def uses_flat_optimizer(cfg: Config) -> bool:
+    """True when make_optimizer wraps the chain in flatten_transform — the
+    train step then runs guard + update + apply on the raveled vector too
+    (steps.py), collapsing hundreds of per-leaf kernels into a handful."""
+    return cfg.flat_optimizer and cfg.optimizer in ("adam", "sgd")
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int, params=None) -> optax.GradientTransformation:
     schedule = warmup_cosine_epoch_schedule(
         cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
@@ -89,7 +96,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int, params=None) -> optax.Grad
 
     # adam/sgd are elementwise chains -> run them on one raveled vector
     # (cfg.flat_optimizer); madam needs per-name routing and stays treewise.
-    maybe_flat = flatten_transform if cfg.flat_optimizer else (lambda tx: tx)
+    maybe_flat = flatten_transform if uses_flat_optimizer(cfg) else (lambda tx: tx)
     if cfg.optimizer == "adam":
         return maybe_flat(optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),

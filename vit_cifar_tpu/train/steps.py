@@ -65,6 +65,7 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
     XLA run everything downstream data-parallel and insert the gradient
     ``psum`` over ICI (replaces Lightning DDP, main.py:223-224).
     """
+    from .optim import uses_flat_optimizer
     from .unsupervised import make_unsupervised_update, uses_unsupervised
 
     criterion = make_criterion(cfg)
@@ -72,6 +73,7 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
     B = cfg.batch_size
     unsupervised = uses_unsupervised(cfg)
     run_ae_updates = make_unsupervised_update(cfg)[1] if unsupervised else None
+    use_flat = uses_flat_optimizer(cfg)
 
     def _shard_data(x):
         if mesh is None:
@@ -169,41 +171,68 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
         )(state.params)
 
         skipped = jnp.zeros((), jnp.float32)
-        if cfg.nonfinite_guard:
-            # Skip the update when loss or any gradient is non-finite — the
-            # torch-AMP inf-skip pattern (the reference does the same for its
-            # AE inner update, layers.py:1071-1072, and otherwise aborts on
-            # the epoch-end NaN scan).  Sporadic non-finite grads have been
-            # observed from specific compiled graphs on this TPU runtime.
-            grads_ok = jax.tree_util.tree_reduce(
-                jnp.logical_and,
-                jax.tree_util.tree_map(
-                    lambda g: jnp.all(jnp.isfinite(g)), grads
-                ),
-                jnp.isfinite(loss),
-            )
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads
-            )
-            skipped = 1.0 - grads_ok.astype(jnp.float32)
+        if use_flat:
+            # Flat fast path (uses_flat_optimizer): guard + optimizer + apply
+            # all run on one raveled vector.  The treewise versions below lower
+            # to a few small kernels PER LEAF (~200 kernels for the 70-leaf
+            # flagship ViT — measured 2x the whole step's device time); here
+            # they are ~5 kernels total.  Semantics identical: the tx wrapper
+            # is flatten_transform (ravel of a flat vector is the identity)
+            # and where/isfinite commute with concatenation.
+            from jax.flatten_util import ravel_pytree
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates
-        )
-        if cfg.nonfinite_guard:
-            # zeroed grads still move adam/madam moments; keep the old state
-            # entirely on skipped steps
+            flat_g, _ = ravel_pytree(grads)
+            flat_p, unravel_p = ravel_pytree(state.params)
+            if cfg.nonfinite_guard:
+                grads_ok = jnp.isfinite(loss) & jnp.all(jnp.isfinite(flat_g))
+                flat_g = jnp.where(grads_ok, flat_g, 0.0)
+                skipped = 1.0 - grads_ok.astype(jnp.float32)
+            u_flat, new_opt_state = tx.update(flat_g, state.opt_state, flat_p)
+            new_flat = flat_p + u_flat.astype(flat_p.dtype)
+            if cfg.nonfinite_guard:
+                # zeroed grads still move adam moments; keep the old state
+                # entirely on skipped steps
+                new_flat = jnp.where(grads_ok, new_flat, flat_p)
+                new_opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(grads_ok, new, old)
+                    if getattr(new, "shape", None) == getattr(old, "shape", None)
+                    else new,
+                    new_opt_state, state.opt_state,
+                )
+            new_params = unravel_p(new_flat)
+        else:
+            if cfg.nonfinite_guard:
+                # Skip the update when loss or any gradient is non-finite —
+                # the torch-AMP inf-skip pattern (the reference does the same
+                # for its AE inner update, layers.py:1071-1072, and otherwise
+                # aborts on the epoch-end NaN scan).
+                grads_ok = jax.tree_util.tree_reduce(
+                    jnp.logical_and,
+                    jax.tree_util.tree_map(
+                        lambda g: jnp.all(jnp.isfinite(g)), grads
+                    ),
+                    jnp.isfinite(loss),
+                )
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads
+                )
+                skipped = 1.0 - grads_ok.astype(jnp.float32)
+
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(skipped > 0, old, new),
-                new_params, state.params,
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
             )
-            new_opt_state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(skipped > 0, old, new)
-                if hasattr(new, "shape") and getattr(new, "shape", None) == getattr(old, "shape", None)
-                else new,
-                new_opt_state, state.opt_state,
-            )
+            if cfg.nonfinite_guard:
+                new_params = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(skipped > 0, old, new),
+                    new_params, state.params,
+                )
+                new_opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(skipped > 0, old, new)
+                    if hasattr(new, "shape") and getattr(new, "shape", None) == getattr(old, "shape", None)
+                    else new,
+                    new_opt_state, state.opt_state,
+                )
 
         # NNMF weight after-care: norm -> clamp -> norm after every optimizer
         # step (network.py:380-386); no-op unless trainable NNMF weights exist.
