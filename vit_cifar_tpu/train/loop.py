@@ -265,16 +265,13 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     # vs 1.5 ms/step dispatched), so the epoch runs as N async per-step
     # dispatches — the host stays ~380 steps ahead and the device never idles.
     #
-    # NOTE on the axon-relay read throttle (bisected 2026-08-17): the FIRST
-    # host read of any device value (device_get / float() / np.asarray — even
-    # copy_to_host_async, even routed through a separate copy executable)
-    # permanently switches this relay runtime into a synchronous ~6.2 ms/step
-    # dispatch mode (~20k img/s for the flagship step); block_until_ready
-    # alone does not.  A training loop must read losses to log them, so epoch
-    # throughput here reflects that mode; bench.py measures the true device
-    # rate (~88k img/s) by never materializing values.  Direct-attached PJRT
-    # runtimes do not behave this way.  Repro: /tmp-style A/B in the round-2
-    # notes — same loop, block-only vs one read per epoch: 80k vs 20.7k.
+    # NOTE on timing against this relay runtime (bisected 2026-08-17):
+    # jax.block_until_ready is a NO-OP here — it returns before the queued
+    # steps execute (390 steps "complete" in 0.15 s by block, then one
+    # device_get drains for 98 s).  Only a host value read synchronizes.
+    # This loop reads its metrics once per epoch, so its epoch timings are
+    # REAL sustained throughput (steps pipeline within the epoch); any
+    # block_until_ready-based window measures enqueue rate, not execution.
     train_step = make_train_step(
         cfg, model, tx, mesh=mesh, pre_augmented=cfg.preaugment_epoch
     )
