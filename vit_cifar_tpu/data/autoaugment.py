@@ -384,15 +384,26 @@ def policy_for_dataset(dataset: str) -> str:
 
 
 def _policy_arrays(policy: str):
+    """Returns (probs, remapped op ids, mags, op fns USED by this policy).
+
+    Under vmap the op ``lax.switch`` evaluates every branch for every image,
+    so restricting the branch list to the ops the policy actually references
+    removes dead per-batch work (e.g. the CIFAR10 policy never uses shearX).
+    """
     subs = _POLICIES[policy]
     probs = np.asarray([[s[0][0], s[1][0]] for s in subs], np.float32)
     ops = np.asarray([[_OP_ID[s[0][1]], _OP_ID[s[1][1]]] for s in subs], np.int32)
     mags = np.asarray([[s[0][2], s[1][2]] for s in subs], np.float32)
-    return jnp.asarray(probs), jnp.asarray(ops), jnp.asarray(mags)
+    used = sorted({int(o) for o in ops.ravel()})
+    remap = np.full(len(_OP_FNS), -1, np.int32)
+    for new, orig in enumerate(used):
+        remap[orig] = new
+    fns = tuple(_OP_FNS[i] for i in used)
+    return jnp.asarray(probs), jnp.asarray(remap[ops]), jnp.asarray(mags), fns
 
 
-def _apply_op(op_id, img, mag, key):
-    return jax.lax.switch(op_id, _OP_FNS, img, mag, key)
+def _apply_op(op_id, img, mag, key, fns=None):
+    return jax.lax.switch(op_id, fns or _OP_FNS, img, mag, key)
 
 
 def autoaugment_batch(key, imgs, policy: str):
@@ -401,7 +412,7 @@ def autoaugment_batch(key, imgs, policy: str):
     imgs: (B, H, W, C) uint8 -> uint8.  Between the two stages the image is
     re-quantized to uint8 values, as PIL holds uint8 between ops.
     """
-    probs, ops, mags = _policy_arrays(policy)
+    probs, ops, mags, fns = _policy_arrays(policy)
     B = imgs.shape[0]
     k_sub, k_rest = jax.random.split(key)
     sub = jax.random.randint(k_sub, (B,), 0, probs.shape[0])
@@ -411,7 +422,7 @@ def autoaugment_batch(key, imgs, policy: str):
         img = img.astype(jnp.float32)
         for stage in range(2):
             k, k_gate, k_op = jax.random.split(k, 3)
-            applied = _apply_op(ops[sub_i, stage], img, mags[sub_i, stage], k_op)
+            applied = _apply_op(ops[sub_i, stage], img, mags[sub_i, stage], k_op, fns)
             do = jax.random.uniform(k_gate) < probs[sub_i, stage]
             img = jnp.where(do, applied, img)
             img = jnp.clip(jnp.round(img), 0, 255)
