@@ -365,6 +365,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="AEAttentionHeads masked-row chunk size (0 = materialize)")
     p.add_argument("--no-flat-optimizer", action="store_false",
                    dest="flat_optimizer", default=True)
+    _add_bool_flag(p, "preaugment-epoch", d.preaugment_epoch)
     p.add_argument("--log-dir", default=d.log_dir, type=str)
     p.add_argument("--ckpt-dir", default=d.ckpt_dir, type=str)
     return p

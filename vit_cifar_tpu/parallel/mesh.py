@@ -10,9 +10,12 @@ step is jitted with these shardings.  Cross-replica batch-norm statistics
 (sync_bn.py:51-116) collapse into a ``pmean`` over the data axis — see
 ``ops/norm.py``.
 
-The mesh defaults to 1D ("data",) covering all visible devices; a 2D
-("data", "model") layout is accepted for future tensor-parallel work (the
-reference has no TP to match — SURVEY.md §2.9).
+The mesh defaults to 1D ("data",) covering all visible devices.  A 2D
+("data", "model") layout enables tensor parallelism (no reference equivalent
+— SURVEY.md §2.9 notes the reference is DP-only): ``shard_params`` lays the
+transformer weights out Megatron-style (Wq/Wk/Wv and the MLP's fc1
+column-parallel over "model", out_project and fc2 row-parallel), and GSPMD
+inserts the all-reduces over ICI from the shardings alone.
 """
 
 from __future__ import annotations
@@ -93,3 +96,48 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
     )
+
+
+def has_model_axis(mesh: Mesh) -> bool:
+    return "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+
+def _tp_spec(path_names: list[str], ndim: int) -> P:
+    """Megatron-style layout for the ViT trunk's Linears.
+
+    Column-parallel (output features over "model"): Wq/Wk/Wv, fc1 — each
+    device holds a head/hidden slice; the following elementwise ops stay
+    local.  Row-parallel (input features over "model"): out_project, fc2 —
+    their matmul contracts the sharded dim, so GSPMD emits one psum per
+    block, exactly the Megatron schedule.  Everything else (LayerNorm, cls,
+    pos_emb, the classifier) is replicated.
+    """
+    joined = "/".join(path_names)
+    col = ("Wq/", "Wk/", "Wv/", "fc1/")
+    row = ("out_project/", "fc2/")
+    if any(c[:-1] in path_names for c in col):
+        if path_names[-1] == "kernel" and ndim == 2:
+            return P(None, "model")
+        if path_names[-1] == "bias" and ndim == 1:
+            return P("model")
+    if any(r[:-1] in path_names for r in row):
+        if path_names[-1] == "kernel" and ndim == 2:
+            return P("model", None)
+    del joined
+    return P()
+
+
+def shard_params(mesh: Mesh, params):
+    """Device-put a param tree with tensor-parallel layout over "model".
+
+    No-op (replication) when the mesh has no model axis.  Works on the
+    TrainState's params; optimizer state built from these params inherits the
+    layout through jit's sharding propagation.
+    """
+
+    def put(path, p):
+        names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        spec = _tp_spec(names, p.ndim) if has_model_axis(mesh) else P()
+        return jax.device_put(p, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)

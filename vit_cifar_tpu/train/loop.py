@@ -180,6 +180,13 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
 
     sample = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.in_c), cfg.compute_dtype)
     state = init_state(cfg, model, tx, sample)
+    # tensor-parallel weight layout over a "model" mesh axis (no reference
+    # equivalent; see parallel/mesh.shard_params) — opt-state/grad layouts
+    # follow through GSPMD propagation
+    from ..parallel.mesh import has_model_axis, shard_params
+
+    if has_model_axis(mesh):
+        state = state.replace(params=shard_params(mesh, state.params))
     start_epoch = 0
     if cfg.resume:
         state, start_epoch = _restore_state(cfg, state)

@@ -85,7 +85,14 @@ def _nnmf_param_label(path: tuple) -> str:
 def uses_flat_optimizer(cfg: Config) -> bool:
     """True when make_optimizer wraps the chain in flatten_transform — the
     train step then runs guard + update + apply on the raveled vector too
-    (steps.py), collapsing hundreds of per-leaf kernels into a handful."""
+    (steps.py), collapsing hundreds of per-leaf kernels into a handful.
+
+    Disabled under tensor parallelism: a raveled vector concatenates params
+    with different "model"-axis layouts, which would force an all-gather per
+    step; the treewise update keeps each shard local."""
+    if "model" in cfg.mesh_axes and cfg.mesh_shape:
+        if cfg.mesh_shape[cfg.mesh_axes.index("model")] > 1:
+            return False
     return cfg.flat_optimizer and cfg.optimizer in ("adam", "sgd")
 
 
