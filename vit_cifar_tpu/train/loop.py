@@ -505,6 +505,18 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         if stop_after is not None and epoch + 1 >= stop_after:
             break
 
+    if not history:
+        # resume of an already-finished run (start_epoch >= max_epochs):
+        # still evaluate the restored model so callers get real metrics
+        val_loss, val_acc = run_eval(state)
+        history.append(dict(val_loss=val_loss, val_acc=val_acc, loss=float("nan"),
+                            acc=float("nan"), lr_0=0.0, epoch_time=0.0,
+                            eval_time=0.0, images_per_sec=0.0))
+        if verbose:
+            print(f"[resume] nothing left to train (epoch {start_epoch} >= "
+                  f"{max_epochs}); evaluated restored model: "
+                  f"val_loss={val_loss:.4f} val_acc={val_acc:.4f}")
+
     total_time = time.time() - t_start
     ckpt.save_last(_full_payload(state, last_epoch))
     # Comet model upload (main.py:239-242)
