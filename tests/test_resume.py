@@ -61,6 +61,20 @@ def test_resume_continues_bit_for_bit(tmp_path):
         res_a["history"][2]["loss"], res_b2["history"][0]["loss"], rtol=1e-6)
 
 
+def test_resume_of_finished_run_evaluates(tmp_path):
+    """Resuming a run whose epochs are exhausted must not crash: it restores,
+    evaluates, and reports the same val metrics as the original run."""
+    cfg = Config(**SMALL).replace(
+        max_epochs=1, log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))
+    res = train(cfg, verbose=False)
+    cfg2 = cfg.replace(resume=res["ckpt_dir"],
+                       log_dir=str(tmp_path / "l2"), ckpt_dir=str(tmp_path / "m2"))
+    res2 = train(cfg2, verbose=False)
+    assert res2["val_loss"] is not None
+    np.testing.assert_allclose(res2["val_loss"], res["val_loss"], rtol=1e-6)
+    np.testing.assert_allclose(res2["val_acc"], res["val_acc"], rtol=1e-6)
+
+
 def test_checkpoint_payload_contains_optimizer_state(tmp_path):
     cfg = Config(**SMALL).replace(
         max_epochs=1, log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))

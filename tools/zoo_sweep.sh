@@ -1,0 +1,33 @@
+#!/bin/bash
+# Train every model-zoo entry for 2 epochs on the real TPU (synthetic data)
+# and record pass/fail + final metrics in /tmp/zoo_sweep.log.  Used for
+# whole-zoo revalidation after train-step/optimizer changes.
+cd /root/repo
+COMMON="--synthetic-data --max-epochs 2 --warmup-epoch 1 --num-layers 3"
+run() {
+  name=$1; shift
+  echo "=== $name: $@" >> /tmp/zoo_sweep.log
+  timeout 900 python main.py "$@" $COMMON > /tmp/zoo_$name.log 2>&1
+  rc=$?
+  tail=$(grep -E "Finished" /tmp/zoo_$name.log | tail -1)
+  echo "$name rc=$rc $tail" >> /tmp/zoo_sweep.log
+}
+run vit        --model-name vit --label-smoothing
+run aftfull    --model-name aftfull
+run aftsimple  --model-name aftsimple
+run hamburger  --model-name hamburger
+run hamattn    --model-name hamburger_attention
+run gnnmf_ham  --model-name gnnmf_ham --train-md-bases --optimizer madam
+run gnnmf_sbs  --model-name gnnmf_sbs --train-md-bases --optimizer madam
+run gnnmf_sbsed --model-name gnnmf_sbsed --train-md-bases --optimizer madam
+run gmlp       --model-name gmlp
+run wgmlp      --model-name wgmlp
+run linear     --model-name linear
+run ae_simple  --model-name ae --ae-type simple --unsupervised-steps 1
+run ae_heads   --model-name ae --ae-type heads
+run ae_2d      --model-name ae --ae-type 2d
+run ae_baseline --model-name ae_baseline
+run lgcnn      --model-name lgcnn
+run wlgcnn     --model-name wlgcnn
+run cnn_baseline --model-name cnn_baseline
+echo "SWEEP DONE" >> /tmp/zoo_sweep.log
