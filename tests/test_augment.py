@@ -70,3 +70,20 @@ def test_random_crop_paste_runs():
     out = augment.random_crop_paste(key, x)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_augment_dataset_small_dataset():
+    """Regression (round-2 advisor): N smaller than the AutoAugment chunk
+    (even < chunk - N) must not break the pad/reshape — pad images are cycled
+    copies and the output keeps the flat (N, H*W*C) layout."""
+    key = jax.random.PRNGKey(0)
+    for n in (3, 40):
+        x = np.random.default_rng(n).integers(
+            0, 256, (n, 32 * 32 * 3), dtype=np.uint8
+        )
+        out = augment.augment_dataset(
+            key, jnp.asarray(x), img_shape=(32, 32, 3), padding=4,
+            autoaugment_policy="cifar10", chunk=32,
+        )
+        assert out.shape == (n, 32 * 32 * 3)
+        assert out.dtype == jnp.uint8

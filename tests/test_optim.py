@@ -15,8 +15,17 @@ def test_schedule_shape():
     assert float(sched(0)) == 0.0
     # mid-warmup epoch 2: 2/5 of base
     np.testing.assert_allclose(float(sched(2 * spe)), 1e-3 * 2 / 5, rtol=1e-6)
-    # end of warmup: exactly base lr
+    # end of warmup: exactly base lr — held for TWO epochs (the
+    # GradualWarmupScheduler returns the un-stepped cosine's lr for one
+    # extra epoch; verified by simulating the actual package)
     np.testing.assert_allclose(float(sched(5 * spe)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(6 * spe)), 1e-3, rtol=1e-6)
+    # first cosine step at epoch warmup+2 (cos_epoch = 1)
+    np.testing.assert_allclose(
+        float(sched(7 * spe)),
+        1e-5 + (1e-3 - 1e-5) * 0.5 * (1 + np.cos(np.pi * 1 / 100)),
+        rtol=1e-6,
+    )
     # constant within an epoch (stepped per-epoch, not per-step)
     assert float(sched(5 * spe)) == float(sched(5 * spe + spe - 1))
     # cosine tail: decreasing, never below min_lr, and because T_max=max_epochs

@@ -75,6 +75,31 @@ def test_resume_of_finished_run_evaluates(tmp_path):
     np.testing.assert_allclose(res2["val_acc"], res["val_acc"], rtol=1e-6)
 
 
+def test_resume_seeds_best_val_loss(tmp_path):
+    """Lightning's ModelCheckpoint restores best_model_score on resume; the
+    BestCheckpointer must seed best_val_loss from the prior run's best.json so
+    the first post-resume epoch cannot overwrite 'best' with a worse model
+    (round-2 advisor, medium)."""
+    import json
+    import os
+
+    from vit_cifar_tpu.train.checkpoint import BestCheckpointer
+
+    cfg = Config(**SMALL).replace(
+        max_epochs=1, log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))
+    res = train(cfg, verbose=False)
+    with open(os.path.join(res["ckpt_dir"], "best.json")) as f:
+        prior_best = json.load(f)["val_loss"]
+
+    ckpt = BestCheckpointer(str(tmp_path / "m2"), "exp", cfg)
+    assert ckpt.best_val_loss == float("inf")
+    ckpt.seed_best_from(res["ckpt_dir"])
+    assert ckpt.best_val_loss == prior_best
+    # a worse epoch must NOT become the new best
+    assert not ckpt.maybe_save_best(prior_best + 1.0, 0, {"x": np.zeros(1)})
+    assert ckpt.maybe_save_best(prior_best - 0.1, 1, {"x": np.zeros(1)})
+
+
 def test_checkpoint_payload_contains_optimizer_state(tmp_path):
     cfg = Config(**SMALL).replace(
         max_epochs=1, log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))

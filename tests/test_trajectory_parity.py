@@ -1,0 +1,234 @@
+"""Multi-step TRAINING-TRAJECTORY parity against the actual torch reference.
+
+The reference's headline capability is its CIFAR-10 accuracy
+(/root/reference/README.md:29-39); with no real data in this image that
+number cannot be reproduced, so this is the strongest available proxy: build
+the reference ``ViT`` (vit.py:19-89) + ``LabelSmoothingCrossEntropyLoss``
+(criterions.py:5-19) + torch Adam with the reference's per-epoch
+warmup-cosine stepping (network.py:70-122), transplant OUR init into it, feed
+both stacks the SAME fixed batches (no mixup/augmentation randomness, fp32),
+run several simulated epochs through OUR real jitted train step, and assert
+the per-step loss sequences agree.  Any integration-level drift — schedule
+off-by-one, weight-decay placement, loss composition, optimizer semantics —
+shows up as trajectory divergence here even though every single-module test
+passes.
+
+Scheduler note: the reference pip-installs ildoonet/pytorch-gradual-warmup-lr
+("warmup_scheduler", setup.sh) which is not in this image;
+``GradualWarmupScheduler`` below reimplements that public package faithfully
+(multiplier==1 linear warmup from 0; the quirk that the un-stepped
+after_scheduler's lr is returned for one extra epoch, so base lr holds for
+epochs W and W+1).  tools/warmup_sim-derived sequences are additionally
+pinned in test_schedule_matches_torch_reference_stepping.
+"""
+
+import math
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import torch.optim.optimizer as _torch_opt  # noqa: E402
+
+if not hasattr(_torch_opt, "_dispatch_sqrt"):
+    _torch_opt._dispatch_sqrt = math.sqrt
+
+# reference vit.py imports torchsummary at module level but only uses it in
+# its __main__ smoke block; a stub keeps the import working in this image
+if "torchsummary" not in sys.modules:
+    import types
+
+    _ts = types.ModuleType("torchsummary")
+    _ts.summary = lambda *a, **k: None
+    sys.modules["torchsummary"] = _ts
+
+sys.path.insert(0, "/root/reference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from torch.optim.lr_scheduler import CosineAnnealingLR, _LRScheduler  # noqa: E402
+
+from vit_cifar_tpu.config import Config  # noqa: E402
+from vit_cifar_tpu.models import get_model  # noqa: E402
+from vit_cifar_tpu.train.loop import init_state  # noqa: E402
+from vit_cifar_tpu.train.optim import make_optimizer, warmup_cosine_epoch_schedule  # noqa: E402
+from vit_cifar_tpu.train.steps import make_train_step  # noqa: E402
+
+
+class GradualWarmupScheduler(_LRScheduler):
+    """Faithful reimplementation of the public warmup_scheduler package the
+    reference installs (setup.sh; used at network.py:116-121)."""
+
+    def __init__(self, optimizer, multiplier, total_epoch, after_scheduler=None):
+        self.multiplier = multiplier
+        if self.multiplier < 1.0:
+            raise ValueError("multiplier should be >= 1.")
+        self.total_epoch = total_epoch
+        self.after_scheduler = after_scheduler
+        self.finished = False
+        super().__init__(optimizer)
+
+    def get_lr(self):
+        if self.last_epoch > self.total_epoch:
+            if self.after_scheduler:
+                if not self.finished:
+                    self.after_scheduler.base_lrs = [
+                        b * self.multiplier for b in self.base_lrs
+                    ]
+                    self.finished = True
+                return self.after_scheduler.get_last_lr()
+            return [b * self.multiplier for b in self.base_lrs]
+        if self.multiplier == 1.0:
+            return [
+                b * (float(self.last_epoch) / self.total_epoch) for b in self.base_lrs
+            ]
+        return [
+            b * ((self.multiplier - 1.0) * self.last_epoch / self.total_epoch + 1.0)
+            for b in self.base_lrs
+        ]
+
+    def step(self, epoch=None, metrics=None):
+        if self.finished and self.after_scheduler:
+            if epoch is None:
+                self.after_scheduler.step(None)
+            else:
+                self.after_scheduler.step(epoch - self.total_epoch)
+            self._last_lr = self.after_scheduler.get_last_lr()
+        else:
+            return super().step(epoch)
+
+
+def _t(x):
+    return torch.from_numpy(np.array(x, np.float32, copy=True))
+
+
+def _flax_to_torch_vit(params, ref, num_layers):
+    """Transplant our flax ViT params into the reference torch ViT."""
+    sd = {}
+
+    def lin(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    def ln(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["scale"]))
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    lin("emb", params["emb"])
+    sd["cls_token"] = _t(np.asarray(params["cls_token"]))
+    sd["pos_emb"] = _t(np.asarray(params["pos_emb"]))
+    for i in range(num_layers):
+        e = params[f"enc{i}"]
+        ln(f"enc.{i}.la1", e["la1"])
+        ln(f"enc.{i}.la2", e["la2"])
+        for nm in ("Wq", "Wk", "Wv", "out_project"):
+            lin(f"enc.{i}.attention.{nm}", e["mixer"][nm])
+        lin(f"enc.{i}.mlp.0", e["mlp"]["fc1"])
+        lin(f"enc.{i}.mlp.3", e["mlp"]["fc2"])
+    ln("fc.0", params["fc_norm"])
+    lin("fc.1", params["fc"])
+    ref.load_state_dict(sd)
+
+
+def test_schedule_matches_torch_reference_stepping():
+    """Our warmup_cosine_epoch_schedule vs the ACTUAL torch CosineAnnealingLR
+    + GradualWarmupScheduler under Lightning's per-epoch stepping, epoch by
+    epoch.  Catches any off-by-one in warmup or the cosine phase."""
+    for W, T in [(1, 6), (5, 12), (2, 5)]:
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=1e-3)
+        cos = CosineAnnealingLR(opt, T_max=T, eta_min=1e-5)
+        sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+        ref_lrs = []
+        for _ in range(T):
+            ref_lrs.append(opt.param_groups[0]["lr"])
+            sch.step()
+
+        spe = 3
+        ours = warmup_cosine_epoch_schedule(1e-3, 1e-5, W, T, spe)
+        got = [float(ours(e * spe)) for e in range(T)]
+        np.testing.assert_allclose(got, ref_lrs, rtol=1e-6, atol=1e-12,
+                                   err_msg=f"W={W} T={T}")
+
+
+def test_training_trajectory_matches_reference():
+    """Transplant-initialized multi-step trajectory parity (round-2 verdict
+    missing #1): per-step losses of our real jitted train step vs the torch
+    reference stack over 4 simulated epochs on identical fixed batches."""
+    from vit import ViT as RefViT
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W = 16, 4, 4, 1
+    cfg = Config(
+        model_name="vit", dataset="c10", num_layers=2, hidden=64,
+        mlp_hidden=64, head=4, patch=8, batch_size=B, precision="32",
+        label_smoothing=True, warmup_epoch=W, max_epochs=E,
+        synthetic_data=True, dropout=0.0,
+    )
+    assert not cfg.cutmix and not cfg.mixup  # no mixing randomness
+
+    rng = np.random.default_rng(0)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    # ---- our side: the REAL train-step machinery --------------------------
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    # pre_augmented=True: skip crop/flip/autoaugment (all randomness), keep
+    # normalize + loss + optimizer — the integration under test
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    # ---- torch reference stack with OUR init transplanted -----------------
+    torch.manual_seed(0)
+    ref = RefViT(in_c=3, num_classes=10, img_size=32, patch=8, dropout=0.0,
+                 num_layers=2, hidden=64, mlp_hidden=64, head=4,
+                 is_cls_token=True)
+    # transplant the INITIAL params (state has already trained by now, so
+    # re-run the deterministic init — same seed, same params)
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_vit(jax.device_get(state0.params), ref, 2)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()  # Lightning steps per epoch (network.py:113-122)
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+    # epoch 0 runs at lr=0 (warmup from 0): batch 0's loss is identical in
+    # epochs 0 and 1 (params did not move) ...
+    np.testing.assert_allclose(ours_losses[0], ours_losses[spe], rtol=1e-5)
+    # ... but training must actually move once the lr is nonzero
+    assert abs(ours_losses[-spe] - ours_losses[0]) > 1e-3

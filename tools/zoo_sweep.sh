@@ -2,13 +2,33 @@
 # Train every model-zoo entry for 2 epochs on the real TPU (synthetic data)
 # and record pass/fail + final metrics in /tmp/zoo_sweep.log.  Used for
 # whole-zoo revalidation after train-step/optimizer changes.
+#
+# Runs are launched with nohup and polled with a graceful deadline instead of
+# `timeout` — SIGKILLing a process that holds the TPU wedges the chip for
+# minutes (CLAUDE.md), which would cascade failures through the rest of the
+# sweep.  On deadline we SIGTERM (lets JAX release the chip), wait, and pause
+# before the next model.
 cd /root/repo
 COMMON="--synthetic-data --max-epochs 2 --warmup-epoch 1 --num-layers 3"
+DEADLINE=${DEADLINE:-1200}
 run() {
   name=$1; shift
   echo "=== $name: $@" >> /tmp/zoo_sweep.log
-  timeout 900 python main.py "$@" $COMMON > /tmp/zoo_$name.log 2>&1
-  rc=$?
+  nohup python main.py "$@" $COMMON > /tmp/zoo_$name.log 2>&1 &
+  pid=$!
+  waited=0
+  while kill -0 $pid 2>/dev/null && [ $waited -lt $DEADLINE ]; do
+    sleep 10; waited=$((waited + 10))
+  done
+  if kill -0 $pid 2>/dev/null; then
+    kill -TERM $pid 2>/dev/null   # graceful: never SIGKILL a TPU holder
+    wait $pid
+    rc=124
+    sleep 120   # let the chip release before the next model
+  else
+    wait $pid
+    rc=$?
+  fi
   tail=$(grep -E "Finished" /tmp/zoo_$name.log | tail -1)
   echo "$name rc=$rc $tail" >> /tmp/zoo_sweep.log
 }

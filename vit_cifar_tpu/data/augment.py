@@ -167,10 +167,13 @@ def augment_dataset(
     if autoaugment_policy is not None:
         from .autoaugment import autoaugment_batch
 
+        chunk = min(chunk, N)  # small datasets: one chunk, no short-pad bug
         n_chunks = -(-N // chunk)
         pad = n_chunks * chunk - N
         if pad:
-            x = jnp.concatenate([x, x[:pad]])
+            # jnp.resize cycles whole images (H*W*C divides the flat offset),
+            # so this also works when pad > N
+            x = jnp.concatenate([x, jnp.resize(x, (pad,) + x.shape[1:])])
         keys = jax.random.split(k_aa, n_chunks)
         x = jax.lax.map(
             lambda args: autoaugment_batch(args[0], args[1], autoaugment_policy),

@@ -31,6 +31,7 @@ def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    **extra,
 ) -> dict:
     """Multi-host (DCN) initialization — the TPU-native equivalent of
     Lightning's multi-node story (SURVEY §2.9/§5).
@@ -58,11 +59,25 @@ def initialize_multihost(
     if pid is not None:
         kw["process_id"] = int(pid)
     try:
-        jax.distributed.initialize(**kw)
+        jax.distributed.initialize(**kw, **extra)
     except RuntimeError as e:
-        # already initialized, or single-process with no coordinator
-        if "already" not in str(e).lower() and kw:
+        if "already" in str(e).lower():
+            pass  # idempotent re-init: fine
+        elif kw:
+            # the caller explicitly described a cluster — failing to join it
+            # must never silently degrade to a process_count=1 run
             raise
+        else:
+            # no explicit coordinator AND auto-detection failed.  On a real
+            # pod this is a wrong-world outcome (each host would train
+            # independently, ~N x slower), so be loud about it; for a plain
+            # single-process run it is the expected no-op path.
+            print(
+                "[vit_cifar_tpu] WARNING: jax.distributed.initialize failed "
+                f"with no explicit coordinator ({e}); continuing as a "
+                "SINGLE process. If this is a multi-host run, set "
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID."
+            )
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

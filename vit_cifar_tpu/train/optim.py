@@ -4,12 +4,21 @@ Reference: ``Net.configure_optimizers`` (network.py:70-122).
 
 Schedule: CosineAnnealingLR(T_max=max_epochs, eta_min=min_lr) wrapped in
 GradualWarmupScheduler(multiplier=1.0, total_epoch=warmup_epoch) and stepped
-**per epoch** (network.py:113-122).  Two deliberate quirks preserved:
+**per epoch** (network.py:113-122).  Three deliberate quirks preserved
+(verified by simulating the actual warmup_scheduler package + torch
+CosineAnnealingLR under Lightning's per-epoch stepping):
   * warmup is linear from 0 (multiplier=1.0 semantics), reaching base lr at
     ``warmup_epoch``;
-  * the cosine phase uses T_max = max_epochs while only
-    ``max_epochs - warmup_epoch`` epochs actually run, so the lr never quite
-    reaches ``min_lr`` — exactly like the reference.
+  * epochs ``warmup_epoch`` AND ``warmup_epoch + 1`` BOTH run at base lr:
+    GradualWarmupScheduler returns the un-stepped after_scheduler's lr for
+    one extra epoch before it starts stepping it, so the cosine phase is
+    delayed by one epoch (cos_epoch = epoch - warmup_epoch - 1);
+  * the cosine phase uses T_max = max_epochs while fewer cosine epochs
+    actually run, so the lr never quite reaches ``min_lr`` — exactly like
+    the reference.
+With ``warmup_epoch=0`` the reference package raises ZeroDivisionError at
+construction; our extension runs pure cosine from epoch 0 (no double-base
+epoch) — the only reachable deviation, documented here.
 
 Optimizers: adam/sgd are torch-semantics (weight decay added to the gradient
 *before* the moment updates — classic L2, not AdamW).  ``madam``
@@ -39,7 +48,10 @@ def warmup_cosine_epoch_schedule(
     def schedule(count):
         epoch = count // steps_per_epoch
         warm = base_lr * epoch / max(warmup_epoch, 1)
-        cos_epoch = jnp.maximum(epoch - warmup_epoch, 0)
+        # the package holds base lr for epochs W and W+1 before stepping the
+        # cosine (see module docstring); with W=0 it runs pure cosine from 0
+        delay = 1 if warmup_epoch > 0 else 0
+        cos_epoch = jnp.maximum(epoch - warmup_epoch - delay, 0)
         cos = min_lr + (base_lr - min_lr) * 0.5 * (
             1.0 + jnp.cos(jnp.pi * cos_epoch / max_epochs)
         )
