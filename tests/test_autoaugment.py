@@ -116,6 +116,53 @@ def test_translate_matches_pil_exactly():
     assert min(diffs) == 0
 
 
+@pytest.mark.parametrize("axis", [1, 0])
+def test_shear_matches_pil(axis):
+    """ShearX/Y vs PIL AFFINE+BICUBIC across the full magnitude grid, both
+    signs (autoaugment.py:198-203).  PIL's transform path uses the a=-1
+    cubic; interior pixels agree within +-1 quantization, and at most a few
+    fill-boundary pixels may differ where src sits exactly on the -0.5 edge
+    (float32-vs-double floor tie)."""
+    img = _rand_img(11)
+    for m in np.linspace(0, 0.3, 10):
+        for sign in (1, -1):
+            mm = float(m) * sign
+            got = np.clip(
+                np.asarray(aa._shear_axis(jnp.asarray(img, jnp.float32),
+                                          jnp.float32(mm), axis)),
+                0, 255,
+            ).astype(np.uint8)
+            coeffs = (1, mm, 0, 0, 1, 0) if axis == 1 else (1, 0, 0, mm, 1, 0)
+            pil = np.asarray(
+                Image.fromarray(img).transform(
+                    (32, 32), Image.AFFINE, coeffs, Image.BICUBIC,
+                    fillcolor=(128, 128, 128),
+                )
+            )
+            d = np.abs(got.astype(int) - pil.astype(int))
+            assert (d > 1).sum() <= 4, f"m={mm}: {(d > 1).sum()} pixels off by >1"
+            assert np.median(d) == 0
+
+
+def test_rotate_matches_pil():
+    """rotate_with_fill (autoaugment.py:193-195) across the magnitude grid:
+    NEAREST CCW rotation composited over gray 128.  Bit-exact except rare
+    floor ties at pixel edges (float32 coordinate math)."""
+    img = _rand_img(12)
+    for m in np.linspace(0, 30, 10):
+        got = _run_op("rotate", img, float(m))
+        im = Image.fromarray(img)
+        rot = im.convert("RGBA").rotate(float(m))
+        exp = np.asarray(
+            Image.composite(
+                rot, Image.new("RGBA", rot.size, (128,) * 4), rot
+            ).convert(im.mode)
+        )
+        d = got.astype(int) != exp.astype(int)
+        # ties affect whole pixels (all 3 channels): allow <=0.5% of pixels
+        assert d.any(axis=-1).sum() <= 5, f"m={m}: {d.any(axis=-1).sum()} pixels differ"
+
+
 def test_batch_autoaugment_runs_and_changes_images():
     rng = np.random.default_rng(8)
     imgs = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)

@@ -24,10 +24,17 @@ PIL-exactness notes (verified against PIL in tests/test_autoaugment.py):
     kernel's untouched 1-pixel border.
   * translate matches PIL AFFINE+NEAREST exactly: the output->input map is
     sampled at pixel centers, so an (x + 0.5 + shift) floor.
-  * shear uses PIL's BICUBIC (a=-0.5) kernel along the sheared axis (the
-    orthogonal axis lands on integer coordinates where the cubic kernel is a
-    delta, so 1D filtering is exact); rotate is NEAREST about the center with
-    the gray-128 composite fill (rotate_with_fill, autoaugment.py:193-195).
+  * shear uses PIL ``Image.transform``'s BICUBIC kernel — the classic a=-1
+    cubic, NOT resize's a=-0.5 Catmull-Rom (verified by extracting tap
+    weights from a float-mode delta probe) — along the sheared axis; the
+    orthogonal axis lands on integer coordinates where the kernel is a
+    delta, so 1D filtering is exact.  Measured vs PIL across the magnitude
+    grid (tests/test_autoaugment.py): interior pixels agree within +-1
+    quantization; a handful of fill-boundary pixels (src exactly at the
+    -0.5 edge) can differ from float32-vs-double ties.
+  * rotate is NEAREST counterclockwise about the center with the gray-128
+    composite fill (rotate_with_fill, autoaugment.py:193-195) — bit-exact
+    vs PIL except rare floor ties at pixel edges (same float32 cause).
   * the magnitude sign is randomized for shear/translate/color/contrast/
     sharpness/brightness, exactly the ops the reference randomizes
     (autoaugment.py:198-219).
@@ -147,8 +154,12 @@ def _sharpness(img, mag, key):
 
 
 def _cubic_weights(t):
-    """PIL BICUBIC kernel, a = -0.5; t = frac in [0,1); taps at -1..2."""
-    a = -0.5
+    """PIL ``Image.transform`` BICUBIC kernel; t = frac in [0,1); taps -1..2.
+
+    NOTE: PIL's *transform* path (Geometry.c) uses the classic a = -1 cubic,
+    NOT the a = -0.5 Catmull-Rom used by ``resize`` — verified empirically by
+    extracting the tap weights from a float-mode delta-image probe."""
+    a = -1.0
 
     def k(x):
         x = jnp.abs(x)
@@ -188,7 +199,8 @@ def _shear_axis(img, m, axis):
         R = R + w[:, :, None] * (idx[:, :, None] == cols[None, None, :])
     out = jnp.einsum("lso,loc->lsc", R, img)
     fill = (src < -0.5) | (src >= n_samp - 0.5)
-    out = jnp.where(fill[:, :, None], _FILL, jnp.clip(jnp.round(out), 0, 255))
+    # PIL clips with (int)(v + 0.5) — floor(+0.5), not round-half-even
+    out = jnp.where(fill[:, :, None], _FILL, jnp.clip(jnp.floor(out + 0.5), 0, 255))
     if axis != 1:
         out = out.transpose(1, 0, 2)
     return out
@@ -236,8 +248,11 @@ def _rotate(img, mag, key):
     cx, cy = W / 2.0, H / 2.0
     xx = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5 - cx
     yy = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5 - cy
-    src_x = cos * xx + sin * yy + cx
-    src_y = -sin * xx + cos * yy + cy
+    # PIL rotates counterclockwise: the inverse map it builds is
+    # src = R(-theta) @ (out - c) + c, i.e. src_x = cos*xx - sin*yy
+    # (Image.rotate builds the matrix from angle = -radians(magnitude))
+    src_x = cos * xx - sin * yy + cx
+    src_y = sin * xx + cos * yy + cy
     ix = jnp.floor(src_x).astype(jnp.int32)
     iy = jnp.floor(src_y).astype(jnp.int32)
     valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
