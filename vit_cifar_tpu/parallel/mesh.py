@@ -118,27 +118,31 @@ def has_model_axis(mesh: Mesh) -> bool:
 
 
 def _tp_spec(path_names: list[str], ndim: int) -> P:
-    """Megatron-style layout for the ViT trunk's Linears.
+    """Megatron-style layout for the transformer-trunk Linears.
 
-    Column-parallel (output features over "model"): Wq/Wk/Wv, fc1 — each
-    device holds a head/hidden slice; the following elementwise ops stay
-    local.  Row-parallel (input features over "model"): out_project, fc2 —
-    their matmul contracts the sharded dim, so GSPMD emits one psum per
-    block, exactly the Megatron schedule.  Everything else (LayerNorm, cls,
-    pos_emb, the classifier) is replicated.
+    Column-parallel (output features over "model"): Wq/Wk/Wv, fc1, and the
+    gMLP/GatedNNMF expansion U — each device holds a head/hidden slice; the
+    following elementwise ops stay local.  Row-parallel (input features over
+    "model"): out_project, fc2, and the contraction V — their matmul
+    contracts the sharded dim, so GSPMD emits one psum per block, exactly
+    the Megatron schedule.  Everything else (LayerNorm, cls, pos_emb,
+    spatial-gating weights, the classifier) is replicated.
+
+    Covered mixers: ViT/AFT/HamburgerAttention (Wq/Wk/Wv/out_project),
+    the MLP block (fc1/fc2), gMLP/wgMLP/linear and GatedNNMF (U/V).
+    ``shard_params`` raises for models where nothing matches (CNNs, pure
+    hamburger, AE mixers) instead of silently replicating.
     """
-    joined = "/".join(path_names)
-    col = ("Wq/", "Wk/", "Wv/", "fc1/")
-    row = ("out_project/", "fc2/")
-    if any(c[:-1] in path_names for c in col):
+    col = ("Wq", "Wk", "Wv", "fc1", "U")
+    row = ("out_project", "fc2", "V")
+    if any(c in path_names for c in col):
         if path_names[-1] == "kernel" and ndim == 2:
             return P(None, "model")
         if path_names[-1] == "bias" and ndim == 1:
             return P("model")
-    if any(r[:-1] in path_names for r in row):
+    if any(r in path_names for r in row):
         if path_names[-1] == "kernel" and ndim == 2:
             return P("model", None)
-    del joined
     return P()
 
 
@@ -150,9 +154,24 @@ def shard_params(mesh: Mesh, params):
     layout through jit's sharding propagation.
     """
 
+    tp = has_model_axis(mesh)
+    n_sharded = 0
+
     def put(path, p):
+        nonlocal n_sharded
         names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
-        spec = _tp_spec(names, p.ndim) if has_model_axis(mesh) else P()
+        spec = _tp_spec(names, p.ndim) if tp else P()
+        if spec != P():
+            n_sharded += 1
         return jax.device_put(p, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(put, params)
+    out = jax.tree_util.tree_map_with_path(put, params)
+    if tp and n_sharded == 0:
+        raise ValueError(
+            "tensor parallelism requested (mesh 'model' axis > 1) but no "
+            "parameter of this model matches the TP layout table "
+            "(parallel/mesh._tp_spec covers ViT/AFT/Hamburger attention, the "
+            "MLP block, and gMLP/GatedNNMF U/V). Silently replicating would "
+            "waste the model-axis chips — run this model on a data-only mesh."
+        )
+    return out
