@@ -57,6 +57,43 @@ def test_train_step_with_cutmix_and_mixup():
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_grad_debug_step_reproduces_training_gradients():
+    """make_grad_debug_step called with the pre-update state must return the
+    EXACT gradients the train step's optimizer consumes — same batch, same
+    folded rng (crop/flip/AutoAugment/mixup draws), same criterion
+    (network.py:335-374 logs from on_after_backward).  Proven by replaying
+    the optimizer update on the debug grads and matching the train step's
+    new params (up to eager-vs-jit fusion ULPs in the Adam math; a wrong
+    batch/rng/criterion would diverge at the 1e-1 scale, not 1e-6)."""
+    from jax.flatten_util import ravel_pytree
+
+    from vit_cifar_tpu.train.steps import make_grad_debug_step
+
+    cfg = Config(**{**SMALL, "autoaugment": True, "mixup": True})
+    model, state, x_all, y_all, step = _setup(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    x_flat = x_all.reshape(len(x_all), -1)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    debug = jax.jit(make_grad_debug_step(cfg, model))
+
+    # advance one step so rng/opt state are non-trivial, then compare step 1
+    state, _ = step(state, x_flat, y_all, perm, 0)
+    grads, dbg_loss = debug(state, x_flat, y_all, perm, 1)
+    flat_g, _ = ravel_pytree(grads)
+    flat_p, unravel = ravel_pytree(state.params)
+    u, _ = tx.update(flat_g, state.opt_state, flat_p)
+    expected = unravel(flat_p + u.astype(flat_p.dtype))
+
+    new_state, metrics = step(state, x_flat, y_all, perm, 1)
+    assert float(dbg_loss) == pytest.approx(float(metrics["loss"]), rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda e, g: np.testing.assert_allclose(
+            np.asarray(e), np.asarray(g), rtol=1e-5, atol=1e-6
+        ),
+        expected, new_state.params,
+    )
+
+
 def test_multichip_data_parallel_step():
     """Full train step jitted over an 8-device mesh; grads psum over ICI."""
     assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"

@@ -382,26 +382,20 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     )
     probe_label = jax.device_put(jnp.asarray(train_y[:10]), repl)
 
-    # gradient-histogram probe (network.py:335-374; recomputed on the probe
-    # batch instead of intercepting the hot step's grads — keeps the train
-    # step donation-friendly)
-    jit_grad_probe = None
+    # gradient histograms of the ACTUAL training batch with the ACTUAL
+    # criterion (network.py:335-374): a separate non-donated jit of the same
+    # batch+backward core as the train step — called with the pre-update
+    # state it reproduces that step's gradients exactly (same folded rng),
+    # while the hot step stays donation-friendly
+    jit_grad_debug = None
     if cfg.log_gradients:
-        from .losses import make_criterion as _mk_crit
+        from .steps import make_grad_debug_step
 
-        _probe_criterion = _mk_crit(cfg.replace(criterion="ce"))
-
-        def _grad_probe(params, model_state):
-            def loss_fn(p):
-                logits = model.apply(
-                    {"params": p, **model_state}, probe_img, deterministic=True,
-                    rngs={"mask": jax.random.PRNGKey(0)},
-                )
-                return _probe_criterion(logits, probe_label, {})
-
-            return jax.grad(loss_fn)(params)
-
-        jit_grad_probe = jax.jit(_grad_probe)
+        jit_grad_debug = jax.jit(
+            make_grad_debug_step(
+                cfg, model, mesh=mesh, pre_augmented=cfg.preaugment_epoch
+            )
+        )
 
     # histogram cadence: the reference only emits histograms to Comet
     # (network.py:229); the CSV path here writes .npz snapshots on a bounded
@@ -444,17 +438,19 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         for p, k_perm in enumerate(jax.random.split(k_epoch, passes)):
             perm = jit_perm(k_perm)
             for i in range(epoch_steps):
-                state, _ = jit_train_step(state, x_epoch, y_train, perm, i)
                 # step-cadence gradient histograms (network.py:335-374: every
-                # log_gradients_interval optimizer steps)
+                # log_gradients_interval optimizer steps) — computed from the
+                # pre-update state so they are the very gradients this step's
+                # optimizer consumes (reference logs from on_after_backward)
                 gstep = (epoch * passes + p) * epoch_steps + i
                 if (
-                    jit_grad_probe is not None
+                    jit_grad_debug is not None
                     and not cfg.dry_run
                     and gstep % cfg.log_gradients_interval == 0
                 ):
-                    grads = jit_grad_probe(state.params, state.model_state)
+                    grads, _ = jit_grad_debug(state, x_epoch, y_train, perm, i)
                     log_histograms(logger, grads, "grads", gstep, epoch)
+                state, _ = jit_train_step(state, x_epoch, y_train, perm, i)
         # epoch-mean train metrics (accumulated inside the step); also syncs
         sums = jax.device_get(state.metrics_acc)
         metrics = {k: float(v) / (epoch_steps * passes) for k, v in sums.items()}

@@ -54,26 +54,16 @@ def _collect_ae_terms(intermediates) -> list:
     return terms
 
 
-def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = False) -> Callable:
-    """Build the jittable train step.
-
-    Signature: ``(state, x_all, y_all, perm, i) -> (state, metrics)`` where
-    ``x_all/y_all`` are the HBM-resident dataset, ``perm`` the epoch's shuffle
-    permutation, and ``i`` the step index within the epoch — so the only
-    host->device traffic per step is one scalar.  When a mesh is given, the
-    gathered batch is sharding-constrained onto the ``data`` axis, which makes
-    XLA run everything downstream data-parallel and insert the gradient
-    ``psum`` over ICI (replaces Lightning DDP, main.py:223-224).
-    """
-    from .optim import uses_flat_optimizer
-    from .unsupervised import make_unsupervised_update, uses_unsupervised
-
+def _make_batch_grads(cfg: Config, model, mesh=None, pre_augmented: bool = False):
+    """The shared core of the train step: gather + augment the batch for step
+    ``i`` and compute ``(loss, logits, grads, label, new_model_state,
+    intermediates)`` at ``state.params``.  Deterministic in ``(state, i)`` —
+    the rng is folded from ``state.rng``/``state.step`` — so a debug call with
+    the same pre-update state reproduces the training step's gradients
+    EXACTLY (see make_grad_debug_step)."""
     criterion = make_criterion(cfg)
     needs_intermediates = cfg.criterion == "aece" or cfg.model_name.startswith("ae")
     B = cfg.batch_size
-    unsupervised = uses_unsupervised(cfg)
-    run_ae_updates = make_unsupervised_update(cfg)[1] if unsupervised else None
-    use_flat = uses_flat_optimizer(cfg)
 
     def _shard_data(x):
         if mesh is None:
@@ -83,7 +73,7 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def train_step(state: TrainState, x_all, y_all, perm, i):
+    def batch_grads(state: TrainState, x_all, y_all, perm, i):
         key = jax.random.fold_in(state.rng, state.step)
         k_crop, k_mix, k_gate, k_drop, k_rcp, k_model = jax.random.split(key, 6)
 
@@ -169,6 +159,34 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
         (loss, (logits, new_model_state, intermediates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        return loss, logits, grads, label, new_model_state, intermediates
+
+    return batch_grads
+
+
+def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = False) -> Callable:
+    """Build the jittable train step.
+
+    Signature: ``(state, x_all, y_all, perm, i) -> (state, metrics)`` where
+    ``x_all/y_all`` are the HBM-resident dataset, ``perm`` the epoch's shuffle
+    permutation, and ``i`` the step index within the epoch — so the only
+    host->device traffic per step is one scalar.  When a mesh is given, the
+    gathered batch is sharding-constrained onto the ``data`` axis, which makes
+    XLA run everything downstream data-parallel and insert the gradient
+    ``psum`` over ICI (replaces Lightning DDP, main.py:223-224).
+    """
+    from .optim import uses_flat_optimizer
+    from .unsupervised import make_unsupervised_update, uses_unsupervised
+
+    unsupervised = uses_unsupervised(cfg)
+    run_ae_updates = make_unsupervised_update(cfg)[1] if unsupervised else None
+    use_flat = uses_flat_optimizer(cfg)
+    batch_grads = _make_batch_grads(cfg, model, mesh=mesh, pre_augmented=pre_augmented)
+
+    def train_step(state: TrainState, x_all, y_all, perm, i):
+        loss, logits, grads, label, new_model_state, intermediates = batch_grads(
+            state, x_all, y_all, perm, i
+        )
 
         skipped = jnp.zeros((), jnp.float32)
         if use_flat:
@@ -275,6 +293,28 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
         return new_state, metrics
 
     return train_step
+
+
+def make_grad_debug_step(cfg: Config, model, mesh=None, pre_augmented: bool = False) -> Callable:
+    """Non-donated debug step returning the ACTUAL training gradients.
+
+    ``(state, x_all, y_all, perm, i) -> (grads, loss)``: called with the same
+    pre-update state/inputs as the train step for step ``i``, it reproduces
+    that step's batch (same folded rng, so same crop/flip/AutoAugment/mixup
+    draws), criterion, and backward — the gradients the reference logs from
+    ``on_after_backward`` (network.py:335-374).  The NNMF weight/input grads
+    the reference logs from inside its custom backward
+    (nnmf/NNMFLayerSbSBP.py:489-511) are the ``nnmf_weights`` leaves of this
+    tree.  Kept separate from the hot step so that one stays
+    donation-friendly; this runs only every ``log_gradients_interval`` steps.
+    """
+    batch_grads = _make_batch_grads(cfg, model, mesh=mesh, pre_augmented=pre_augmented)
+
+    def grad_debug_step(state: TrainState, x_all, y_all, perm, i):
+        loss, _, grads, _, _, _ = batch_grads(state, x_all, y_all, perm, i)
+        return grads, loss
+
+    return grad_debug_step
 
 
 def make_metrics_zeros(cfg: Config):
