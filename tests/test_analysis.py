@@ -90,6 +90,43 @@ def test_dashboard_report(tmp_path):
     assert len(pngs) == 2 * 3 + 1
 
 
+def test_interactive_dashboard(tmp_path):
+    """The Streamlit-parity viewer (reference dashboard.py:77-236): index.html
+    with client-side selectors + per-model data_*.js whose quantized attention
+    round-trips within 1/255 of the true maps."""
+    import base64
+    import json as json_mod
+
+    from vit_cifar_tpu.analysis.interactive import generate_interactive, model_payload
+    from vit_cifar_tpu.analysis.run_model import load_run_model
+
+    ckpt_dir = _trained_ckpt(tmp_path)
+    index = generate_interactive([ckpt_dir], out_dir=str(tmp_path / "rep"),
+                                 batch_size=4)
+    assert os.path.exists(index)
+    html = open(index).read()
+    for needle in ('<script src="data_0.js">', 'id="model"', 'id="token"',
+                   'id="heads"', 'id="transpose"', 'id="cmap"', "rollout"):
+        assert needle in html
+    js = open(tmp_path / "rep" / "data_0.js").read()
+    payload = json_mod.loads(js[js.index("push(") + 5:-2])
+    L, B, H, T, _ = payload["shape"]
+    assert B == 4 and T == 65
+    assert len(payload["preds"]) == B
+    assert payload["patch"] == 8 and payload["is_cls"] is True
+
+    # quantization round-trip against the true maps
+    _, _, _, _, inter = load_run_model(ckpt_dir, batch_size=4)
+    true = collect_attention_maps(inter)
+    q = np.frombuffer(base64.b64decode(payload["attn_b64"]), np.uint8)
+    scales = np.asarray(payload["scales"], np.float32).reshape(-1, 2)
+    maps = q.reshape(L * B * H, T * T).astype(np.float32)
+    deq = scales[:, :1] + maps / 255.0 * (scales[:, 1:] - scales[:, :1])
+    err = np.abs(deq.reshape(true.shape) - true)
+    span = (scales[:, 1] - scales[:, 0]).reshape(L, B, H, 1, 1)
+    assert float((err / np.maximum(span, 1e-9)).max()) <= 0.5 / 255 + 1e-4
+
+
 def test_model_summary():
     from vit_cifar_tpu.utils.observability import model_summary
 

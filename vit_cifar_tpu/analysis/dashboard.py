@@ -147,23 +147,43 @@ def generate_report(
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Attention visualization report")
+    p = argparse.ArgumentParser(description="Attention visualization dashboard")
     p.add_argument("--ckpt", default=None, help="checkpoint dir (models/<experiment>)")
     p.add_argument("--ckpt-dir", default="models", help="where to look for checkpoints")
     p.add_argument("--out", default="report")
-    p.add_argument("--image", default=0, type=int)
-    p.add_argument("--token", default=0, type=int)
+    p.add_argument("--image", default=0, type=int, help="(--static only)")
+    p.add_argument("--token", default=0, type=int, help="(--static only)")
     p.add_argument("--batch-size", default=8, type=int)
+    p.add_argument("--static", action="store_true",
+                   help="matplotlib page for one fixed image/token instead of "
+                        "the interactive client-side viewer")
+    p.add_argument("--max-models", default=8, type=int,
+                   help="embed at most this many checkpoints (newest first)")
     args = p.parse_args(argv)
 
-    ckpt = args.ckpt
-    if ckpt is None:
-        cands = find_checkpoints(args.ckpt_dir)
-        if not cands:
+    if args.ckpt is not None:
+        ckpts = [args.ckpt]
+    else:
+        ckpts = find_checkpoints(args.ckpt_dir)
+        if not ckpts:
             raise SystemExit(f"no checkpoints found under {args.ckpt_dir!r}")
-        ckpt = cands[-1]
-        print(f"using latest checkpoint: {ckpt}")
-    index = generate_report(ckpt, args.out, args.image, args.token, args.batch_size)
+        if not args.static:
+            ckpts = ckpts[-args.max_models:]
+            print(f"embedding {len(ckpts)} checkpoint(s): {ckpts}")
+        else:
+            ckpts = ckpts[-1:]
+            print(f"using latest checkpoint: {ckpts[0]}")
+
+    if args.static:
+        index = generate_report(
+            ckpts[0], args.out, args.image, args.token, args.batch_size
+        )
+    else:
+        # the Streamlit-parity interactive viewer (dashboard.py:77-236):
+        # model/image/token/head/colormap selectors switch maps client-side
+        from .interactive import generate_interactive
+
+        index = generate_interactive(ckpts, args.out, args.batch_size)
     print(f"report written to {index}")
 
 

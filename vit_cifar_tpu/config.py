@@ -195,6 +195,10 @@ class Config:
     # skip; the reference's AE update has the same guard, layers.py:1071-1072)
     nonfinite_guard: bool = True
     device_data: bool = True  # keep the full dataset resident in HBM
+    # persistent XLA compilation cache (works through the axon relay:
+    # measured 20.8 s -> 3.9 s for the flagship train-step compile on a warm
+    # cache).  Empty string disables.
+    compile_cache_dir: str = "~/.cache/vit_cifar_tpu/xla"
     # AEAttentionHeads: rows of the eye-masked (B,T,h*T,F/h) tensor built per
     # chunk (0 = materialize fully, the reference layout layers.py:862-877)
     ae_mask_chunk: int = 16
@@ -363,6 +367,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-device-data", action="store_false", dest="device_data", default=True)
     p.add_argument("--ae-mask-chunk", default=d.ae_mask_chunk, type=int,
                    help="AEAttentionHeads masked-row chunk size (0 = materialize)")
+    p.add_argument("--compile-cache-dir", default=d.compile_cache_dir, type=str,
+                   help="persistent XLA compilation cache ('' disables)")
     p.add_argument("--no-flat-optimizer", action="store_false",
                    dest="flat_optimizer", default=True)
     _add_bool_flag(p, "preaugment-epoch", d.preaugment_epoch)

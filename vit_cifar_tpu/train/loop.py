@@ -129,6 +129,9 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     jax.config.update(
         "jax_default_matmul_precision", MATMUL_PRECISION[cfg.matmul_precision]
     )
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache(cfg.compile_cache_dir)
 
     if cfg.multihost:
         from ..parallel.mesh import initialize_multihost
