@@ -61,10 +61,22 @@ def _synthetic(dataset: str) -> RawData:
         ]
     )  # (C, 32, 32, 3)
 
+    templates = templates.astype(np.float32)
+
     def make(n, seed_rng):
         y = np.tile(np.arange(n_classes, dtype=np.int32), -(-n // n_classes))[:n]
-        noise = seed_rng.normal(0, 40, (n, 32, 32, 3))
-        x = np.clip(templates[y] + noise, 0, 255).astype(np.uint8)
+        # chunked float32 generation: the one-shot float64 version peaked at
+        # ~5 GB of intermediates and took ~78 s on this 1-CPU box (measured,
+        # round 3) — this takes ~3 s with a ~100 MB peak
+        x = np.empty((n, 32, 32, 3), np.uint8)
+        chunk = 8192
+        for i in range(0, n, chunk):
+            j = min(n, i + chunk)
+            noise = seed_rng.standard_normal((j - i, 32, 32, 3), dtype=np.float32)
+            noise *= 40.0
+            noise += templates[y[i:j]]
+            np.clip(noise, 0, 255, out=noise)
+            x[i:j] = noise.astype(np.uint8)
         return x, y
 
     x_train, y_train = make(n_train, rng)
@@ -135,7 +147,35 @@ def load_dataset(dataset: str, data_dir: str = "data", synthetic: bool = False) 
             "(no network egress in this environment) — using deterministic "
             "synthetic data with identical shapes."
         )
-    return _synthetic(dataset)
+    return _synthetic_cached(dataset)
+
+
+def _synthetic_cached(dataset: str) -> RawData:
+    """Memoized-on-disk synthetic data: generation is RNG-bound (~23 s for
+    c10 on this 1-CPU box even chunked), and every training run and most
+    tests pay it.  The cache lives under /tmp (the repo's data/ dir is
+    reserved for real archives) and memory-maps in ~0.1 s."""
+    cache = os.path.join("/tmp", f"vit_cifar_tpu_synth_{dataset}")
+    names = ("x_train", "y_train", "x_test", "y_test")
+    try:
+        if all(os.path.exists(os.path.join(cache, n + ".npy")) for n in names):
+            arrs = [
+                np.load(os.path.join(cache, n + ".npy"), mmap_mode="r")
+                for n in names
+            ]
+            return RawData(*arrs, _SIZES[dataset][2], synthetic=True)
+    except Exception:
+        pass  # unreadable cache: regenerate
+    raw = _synthetic(dataset)
+    try:
+        os.makedirs(cache, exist_ok=True)
+        for n in names:
+            tmp = os.path.join(cache, f".{n}.{os.getpid()}.npy")
+            np.save(tmp, getattr(raw, n))
+            os.replace(tmp, os.path.join(cache, n + ".npy"))  # atomic vs races
+    except Exception:
+        pass  # read-only /tmp: just skip caching
+    return raw
 
 
 def semi_supervised_split(raw: RawData, n_valid: int = 500, n_labeled: int = 400):

@@ -78,17 +78,23 @@ def _full_payload(state: TrainState, epoch: int) -> dict[str, Any]:
     """Everything needed to resume seamlessly — parity with Lightning
     checkpoints, which embed optimizer + scheduler state (main.py:234-236).
     The LR phase needs no extra state: the schedule is a pure function of the
-    restored step counter (train/optim.py)."""
-    payload = {
-        "params": jax.device_get(state.params),
-        "model_state": jax.device_get(state.model_state),
-        "opt_state": jax.device_get(state.opt_state),
-        "rng": jax.device_get(state.rng),
-        "step": int(jax.device_get(state.step)),
-        "epoch": epoch,
+    restored step counter (train/optim.py).  Fetched via device_fetch_tree:
+    per-leaf device_get paid a relay round-trip per leaf (~2.5 s per
+    best-checkpoint save; see utils/transfer.py)."""
+    from ..utils.transfer import device_fetch_tree
+
+    sub = {
+        "params": state.params,
+        "model_state": state.model_state,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+        "step": state.step,
     }
     if state.ae_opt_state is not None:
-        payload["ae_opt_state"] = jax.device_get(state.ae_opt_state)
+        sub["ae_opt_state"] = state.ae_opt_state
+    payload: dict[str, Any] = device_fetch_tree(sub)
+    payload["step"] = int(payload["step"])
+    payload["epoch"] = epoch
     return payload
 
 
@@ -337,6 +343,13 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
 
         _, outs = jax.lax.scan(body, None, jnp.arange(n_eval_steps))
         sums = jax.tree_util.tree_map(lambda a: a.sum(), outs)
+        # NaN parameter guard (network.py:226-228) piggybacks on the eval's
+        # device_get — a separate host read costs a full relay round-trip
+        sums["param_nan"] = jax.tree_util.tree_reduce(
+            jnp.logical_or,
+            jax.tree_util.tree_map(lambda p: jnp.any(jnp.isnan(p)), params),
+            jnp.asarray(False),
+        )
         return sums
 
     jit_eval_all = jax.jit(eval_all)
@@ -347,13 +360,6 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     jit_perm = jax.jit(
         lambda key: jax.random.permutation(key, len(train_x)).astype(jnp.int32),
         out_shardings=repl,
-    )
-    jit_nan_check = jax.jit(
-        lambda params: jax.tree_util.tree_reduce(
-            jnp.logical_or,
-            jax.tree_util.tree_map(lambda p: jnp.any(jnp.isnan(p)), params),
-            jnp.asarray(False),
-        )
     )
 
     from .optim import warmup_cosine_epoch_schedule
@@ -424,6 +430,7 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         return (
             float(sums["loss_sum"]) / float(sums["count"]),
             float(sums["correct_sum"]) / float(sums["count"]),
+            bool(sums["param_nan"]),
         )
 
     passes = 1 if cfg.dry_run else epoch_passes
@@ -463,12 +470,6 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         images_seen += epoch_steps * passes * cfg.batch_size
         ep_time = time.time() - t_ep
 
-        # NaN parameter guard (network.py:226-228)
-        if bool(jax.device_get(jit_nan_check(state.params))):
-            raise ValueError(
-                f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
-            )
-
         # epoch-end histograms (network.py:229-323): weights, plus every
         # layer's output on the probe batch — which includes the sown AE
         # inputs/outputs for the AE family (network.py:293-323)
@@ -485,8 +486,14 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
                 print(f"[vit_cifar_tpu] layer-output histograms failed: {e}")
 
         t_eval = time.time()
-        val_loss, val_acc = run_eval(state)
+        val_loss, val_acc, param_nan = run_eval(state)
         eval_time = time.time() - t_eval
+        # NaN parameter guard (network.py:226-228), checked from the eval's
+        # host read (params are unchanged between step loop and here)
+        if param_nan:
+            raise ValueError(
+                f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
+            )
         lr_now = float(lr_sched(epoch * sched_steps + 1))
         row = dict(
             loss=float(metrics["loss"]),
@@ -527,7 +534,7 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     if not history:
         # resume of an already-finished run (start_epoch >= max_epochs):
         # still evaluate the restored model so callers get real metrics
-        val_loss, val_acc = run_eval(state)
+        val_loss, val_acc, _ = run_eval(state)
         history.append(dict(val_loss=val_loss, val_acc=val_acc, loss=float("nan"),
                             acc=float("nan"), lr_0=0.0, epoch_time=0.0,
                             eval_time=0.0, images_per_sec=0.0))
