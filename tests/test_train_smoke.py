@@ -57,6 +57,18 @@ def test_train_step_with_cutmix_and_mixup():
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_nan_parameter_guard_halts_training(tmp_path):
+    """The epoch-end NaN parameter guard (network.py:226-228) still halts
+    training after being folded into the eval executable's host read."""
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**{**SMALL, "batch_size": 2000, "eval_batch_size": 5000,
+                    "lr": 1e25, "nonfinite_guard": False, "max_epochs": 1},
+                 log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="NaN parameter"):
+        train(cfg, verbose=False)
+
+
 def test_grad_debug_step_reproduces_training_gradients():
     """make_grad_debug_step called with the pre-update state must return the
     EXACT gradients the train step's optimizer consumes — same batch, same
