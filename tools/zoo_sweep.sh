@@ -10,9 +10,13 @@
 # before the next model.
 cd /root/repo
 COMMON="--synthetic-data --max-epochs 2 --warmup-epoch 1 --num-layers 3"
-DEADLINE=${DEADLINE:-1200}
+DEADLINE=${DEADLINE:-2400}
 run() {
   name=$1; shift
+  # gate every entry on relay health: after a deadline SIGTERM the chip can
+  # wedge for many minutes (or the relay can be down outright), and starting
+  # the next model anyway burns its deadline hanging in jax.devices()
+  bash tools/tpu_probe.sh >> /tmp/zoo_sweep.log
   echo "=== $name: $@" >> /tmp/zoo_sweep.log
   nohup python main.py "$@" $COMMON > /tmp/zoo_$name.log 2>&1 &
   pid=$!
