@@ -35,6 +35,7 @@ _SIZES = {
     "c100": (50_000, 10_000, 100),
     "svhn": (73_257, 26_032, 10),
 }
+_SYNTH_GEN = "v2"  # chunked float32 generator (round 3)
 
 
 class RawData(NamedTuple):
@@ -155,7 +156,8 @@ def _synthetic_cached(dataset: str) -> RawData:
     c10 on this 1-CPU box even chunked), and every training run and most
     tests pay it.  The cache lives under /tmp (the repo's data/ dir is
     reserved for real archives) and memory-maps in ~0.1 s."""
-    cache = os.path.join("/tmp", f"vit_cifar_tpu_synth_{dataset}")
+    # bump _SYNTH_GEN when the generator changes, or stale caches poison runs
+    cache = os.path.join("/tmp", f"vit_cifar_tpu_synth_{_SYNTH_GEN}_{dataset}")
     names = ("x_train", "y_train", "x_test", "y_test")
     try:
         if all(os.path.exists(os.path.join(cache, n + ".npy")) for n in names):
