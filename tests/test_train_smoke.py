@@ -63,10 +63,17 @@ def test_nan_parameter_guard_halts_training(tmp_path):
     from vit_cifar_tpu.train.loop import train
 
     cfg = Config(**{**SMALL, "batch_size": 2000, "eval_batch_size": 5000,
-                    "lr": 1e25, "nonfinite_guard": False, "max_epochs": 1},
+                    "lr": 1e25, "nonfinite_guard": False, "max_epochs": 1,
+                    "log_weights": True},
                  log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "m"))
     with pytest.raises(ValueError, match="NaN parameter"):
         train(cfg, verbose=False)
+    # guard must fire BEFORE the epoch-end histograms (reference order,
+    # network.py:226-228 then :229-323): no all-NaN histogram artifacts
+    import glob
+
+    assert not glob.glob(str(tmp_path / "l" / "**" / "histograms" / "*.npz"),
+                         recursive=True)
 
 
 def test_grad_debug_step_reproduces_training_gradients():

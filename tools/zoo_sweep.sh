@@ -26,7 +26,20 @@ run() {
   done
   if kill -0 $pid 2>/dev/null; then
     kill -TERM $pid 2>/dev/null   # graceful: never SIGKILL a TPU holder
-    wait $pid
+    # bounded grace: a client wedged in jax.devices() can ignore SIGTERM for
+    # ~25 min (CLAUDE.md); such a client holds no grant, so after the grace
+    # period abandon it (disown — do NOT SIGKILL in case it does hold the
+    # chip) rather than stalling the rest of the sweep forever.
+    grace=0
+    while kill -0 $pid 2>/dev/null && [ $grace -lt 300 ]; do
+      sleep 10; grace=$((grace + 10))
+    done
+    if kill -0 $pid 2>/dev/null; then
+      echo "$name: still alive ${grace}s after SIGTERM, abandoning" >> /tmp/zoo_sweep.log
+      disown $pid 2>/dev/null
+    else
+      wait $pid 2>/dev/null
+    fi
     rc=124
     sleep 120   # let the chip release before the next model
   else

@@ -43,11 +43,14 @@ def _quantize(attn: np.ndarray):
 
 def model_payload(ckpt: str, batch_size: int = 8) -> dict:
     """Everything the client-side viewer needs for one checkpoint."""
-    from ..train.checkpoint import load_checkpoint
+    from ..config import Config
 
     model, variables, imgs, logits, inter = load_run_model(ckpt, batch_size=batch_size)
     attn = collect_attention_maps(inter)  # (L,B,H,T,T)
-    _, cfg = load_checkpoint(ckpt)
+    # only cfg.patch / cfg.is_cls_token are needed — read config.json
+    # directly instead of paying a second full orbax state restore
+    with open(os.path.join(ckpt, "config.json")) as f:
+        cfg = Config.from_json(f.read())
     q, scales = _quantize(attn)
     imgs_u8 = np.asarray(imgs)
     if imgs_u8.max() <= 1.5:

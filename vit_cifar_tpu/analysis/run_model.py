@@ -61,12 +61,13 @@ def load_run_model(
 
 
 def find_checkpoints(ckpt_dir: str = "models") -> list[str]:
-    """All checkpoint directories under ``ckpt_dir`` (dashboard model picker)."""
+    """Checkpoint directories under ``ckpt_dir``, oldest first (dashboard
+    model picker — its ``[-max_models:]`` slice then keeps the newest)."""
     if not os.path.isdir(ckpt_dir):
         return []
     out = []
-    for name in sorted(os.listdir(ckpt_dir)):
+    for name in os.listdir(ckpt_dir):
         p = os.path.join(ckpt_dir, name)
         if os.path.isdir(p) and os.path.exists(os.path.join(p, "config.json")):
             out.append(p)
-    return out
+    return sorted(out, key=lambda p: (os.path.getmtime(p), p))

@@ -60,8 +60,12 @@ def initialize_multihost(
         kw["process_id"] = int(pid)
     try:
         jax.distributed.initialize(**kw, **extra)
-    except RuntimeError as e:
-        if "already" in str(e).lower():
+    except (RuntimeError, ValueError) as e:
+        # auto-detection failure raises ValueError ("coordinator_address
+        # should be defined"), re-init raises RuntimeError ("distributed.
+        # initialize should only be called once") — handle both.
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             pass  # idempotent re-init: fine
         elif kw:
             # the caller explicitly described a cluster — failing to join it

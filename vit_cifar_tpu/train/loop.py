@@ -470,6 +470,19 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         images_seen += epoch_steps * passes * cfg.batch_size
         ep_time = time.time() - t_ep
 
+        t_eval = time.time()
+        val_loss, val_acc, param_nan = run_eval(state)
+        eval_time = time.time() - t_eval
+        # NaN parameter guard (network.py:226-228), checked from the eval's
+        # host read (params are unchanged between step loop and here).  This
+        # must run BEFORE the epoch-end histograms, matching the reference
+        # order (guard :226-228, histograms :229-323) — otherwise an all-NaN
+        # epoch logs garbage histogram artifacts before training halts.
+        if param_nan:
+            raise ValueError(
+                f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
+            )
+
         # epoch-end histograms (network.py:229-323): weights, plus every
         # layer's output on the probe batch — which includes the sown AE
         # inputs/outputs for the AE family (network.py:293-323)
@@ -484,16 +497,6 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
                 log_histograms(logger, outs, "layer_outputs", int(epoch), epoch)
             except Exception as e:  # IndexError fallback, network.py:259-264
                 print(f"[vit_cifar_tpu] layer-output histograms failed: {e}")
-
-        t_eval = time.time()
-        val_loss, val_acc, param_nan = run_eval(state)
-        eval_time = time.time() - t_eval
-        # NaN parameter guard (network.py:226-228), checked from the eval's
-        # host read (params are unchanged between step loop and here)
-        if param_nan:
-            raise ValueError(
-                f"[ERROR] NaN parameter detected at epoch {epoch}. Training stopped."
-            )
         lr_now = float(lr_sched(epoch * sched_steps + 1))
         row = dict(
             loss=float(metrics["loss"]),

@@ -107,11 +107,13 @@ def compute_histograms(tree, bins: int = 64) -> dict[str, tuple[np.ndarray, np.n
 
 def log_histograms(logger, tree, prefix: str, step: int, epoch: int, bins: int = 64):
     """Comet path: log_histogram_3d per leaf; CSV path: one .npz per call."""
-    hists = compute_histograms(tree, bins=bins)
     if hasattr(logger, "comet") and logger.comet is not None:
-        # one device_get for the whole tree (per-leaf reads cost a relay
-        # round-trip each — see compute_histograms)
-        flat = jax.tree_util.tree_flatten_with_path(jax.device_get(tree))[0]
+        # comet wants raw values, not pre-binned hists — skip
+        # compute_histograms and fetch the tree in one transfer per dtype
+        # group (per-leaf device_get costs a relay round-trip each)
+        from .transfer import device_fetch_tree
+
+        flat = jax.tree_util.tree_flatten_with_path(device_fetch_tree(tree))[0]
         for path, leaf in flat:
             names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
             logger.comet.log_histogram_3d(
@@ -119,6 +121,7 @@ def log_histograms(logger, tree, prefix: str, step: int, epoch: int, bins: int =
                 step=step, epoch=epoch,
             )
         return
+    hists = compute_histograms(tree, bins=bins)
     hist_dir = os.path.join(logger.dir, "histograms")
     os.makedirs(hist_dir, exist_ok=True)
     payload = {}
