@@ -57,6 +57,31 @@ def test_train_step_with_cutmix_and_mixup():
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_contiguous_batches_matches_gather_path():
+    """`contiguous_batches=True` (pre-permuted epoch + dynamic_slice fetch,
+    tools/ab_gather.py) must train identically to the production gather path
+    when fed the pre-permuted dataset."""
+    from vit_cifar_tpu.models import get_model as _gm
+
+    cfg = Config(**SMALL)
+    model, state_a, x_all, y_all, step_a = _setup(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    state_b = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step_b = jax.jit(make_train_step(cfg, model, tx, contiguous_batches=True))
+
+    rng = np.random.default_rng(3)
+    perm = jnp.asarray(rng.permutation(len(x_all)).astype(np.int32))
+    x_p, y_p = jnp.take(x_all, perm, axis=0), jnp.take(y_all, perm, axis=0)
+    for i in range(3):
+        state_a, ma = step_a(state_a, x_all, y_all, perm, i)
+        state_b, mb = step_b(state_b, x_p, y_p, perm, i)
+        assert np.allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_nan_parameter_guard_halts_training(tmp_path):
     """The epoch-end NaN parameter guard (network.py:226-228) still halts
     training after being folded into the eval executable's host read."""

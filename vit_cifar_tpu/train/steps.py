@@ -54,13 +54,26 @@ def _collect_ae_terms(intermediates) -> list:
     return terms
 
 
-def _make_batch_grads(cfg: Config, model, mesh=None, pre_augmented: bool = False):
+def _make_batch_grads(
+    cfg: Config,
+    model,
+    mesh=None,
+    pre_augmented: bool = False,
+    contiguous_batches: bool = False,
+):
     """The shared core of the train step: gather + augment the batch for step
     ``i`` and compute ``(loss, logits, grads, label, new_model_state,
     intermediates)`` at ``state.params``.  Deterministic in ``(state, i)`` —
     the rng is folded from ``state.rng``/``state.step`` — so a debug call with
     the same pre-update state reproduces the training step's gradients
-    EXACTLY (see make_grad_debug_step)."""
+    EXACTLY (see make_grad_debug_step).
+
+    ``contiguous_batches``: the caller pre-permutes ``x_all``/``y_all`` once
+    per epoch (one big gather amortized over all steps) and the step fetches
+    its batch with a pure contiguous ``dynamic_slice`` instead of a 128-row
+    gather; ``perm`` is ignored.  Same training semantics (identical batches
+    given pre-permuted inputs) — exists to A/B the per-step gather component
+    of the fixed step cost (tools/ab_gather.py)."""
     criterion = make_criterion(cfg)
     needs_intermediates = cfg.criterion == "aece" or cfg.model_name.startswith("ae")
     B = cfg.batch_size
@@ -77,15 +90,23 @@ def _make_batch_grads(cfg: Config, model, mesh=None, pre_augmented: bool = False
         key = jax.random.fold_in(state.rng, state.step)
         k_crop, k_mix, k_gate, k_drop, k_rcp, k_model = jax.random.split(key, 6)
 
-        idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-        img = _shard_data(jnp.take(x_all, idx, axis=0))  # (B,...) uint8
+        if contiguous_batches:
+            img = _shard_data(
+                jax.lax.dynamic_slice_in_dim(x_all, i * B, B, axis=0)
+            )  # (B,...) uint8, pre-permuted by the caller
+        else:
+            idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+            img = _shard_data(jnp.take(x_all, idx, axis=0))  # (B,...) uint8
         if img.ndim == 2:
             # HBM-resident datasets are stored FLAT (N, H*W*C): 2D uint8 has a
             # canonical TPU tiling, whereas a 4D uint8 array can compile to an
             # executable that relayouts the whole dataset EVERY step (a 3.8 ms
             # `copy` op per step in the profile, 147 MB for CIFAR).
             img = img.reshape(B, cfg.img_size, cfg.img_size, cfg.in_c)
-        label = _shard_data(jnp.take(y_all, idx, axis=0))
+        if contiguous_batches:
+            label = _shard_data(jax.lax.dynamic_slice_in_dim(y_all, i * B, B, axis=0))
+        else:
+            label = _shard_data(jnp.take(y_all, idx, axis=0))
 
         # --- on-device augmentation (host transforms in the reference,
         #     utils.py:337-367; same order: crop -> flip -> autoaugment ->
@@ -164,7 +185,14 @@ def _make_batch_grads(cfg: Config, model, mesh=None, pre_augmented: bool = False
     return batch_grads
 
 
-def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = False) -> Callable:
+def make_train_step(
+    cfg: Config,
+    model,
+    tx,
+    mesh=None,
+    pre_augmented: bool = False,
+    contiguous_batches: bool = False,
+) -> Callable:
     """Build the jittable train step.
 
     Signature: ``(state, x_all, y_all, perm, i) -> (state, metrics)`` where
@@ -181,7 +209,13 @@ def make_train_step(cfg: Config, model, tx, mesh=None, pre_augmented: bool = Fal
     unsupervised = uses_unsupervised(cfg)
     run_ae_updates = make_unsupervised_update(cfg)[1] if unsupervised else None
     use_flat = uses_flat_optimizer(cfg)
-    batch_grads = _make_batch_grads(cfg, model, mesh=mesh, pre_augmented=pre_augmented)
+    batch_grads = _make_batch_grads(
+        cfg,
+        model,
+        mesh=mesh,
+        pre_augmented=pre_augmented,
+        contiguous_batches=contiguous_batches,
+    )
 
     def train_step(state: TrainState, x_all, y_all, perm, i):
         loss, logits, grads, label, new_model_state, intermediates = batch_grads(
