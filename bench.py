@@ -16,6 +16,8 @@ disk, else synthetic with identical shapes — compute is identical either way).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -113,5 +115,38 @@ def main():
     )
 
 
+def _backend_ready() -> bool:
+    """True once the backend grants a device.  On a relay outage the first
+    backend touch hangs ~25 min in-process and then raises UNAVAILABLE; a
+    hung client's session never recovers (CLAUDE.md), so recovery must
+    re-exec a FRESH process rather than retry in this one."""
+    try:
+        return len(jax.devices()) > 0
+    except Exception as e:  # RuntimeError UNAVAILABLE on a downed relay
+        print(f"[bench] backend unavailable: {e}", file=sys.stderr, flush=True)
+        return False
+
+
 if __name__ == "__main__":
+    # Relay-outage resilience for unattended runs: if backend init fails,
+    # sleep and re-exec a fresh process (bounded retries), since a client
+    # that failed init holds no grant and never recovers in-process.
+    retry = int(os.environ.get("BENCH_RETRY", "0"))
+    if not _backend_ready():
+        if retry >= 5:
+            print(
+                json.dumps(
+                    {
+                        "metric": "train_images_per_sec",
+                        "value": 0.0,
+                        "unit": "img/s",
+                        "vs_baseline": 0.0,
+                        "error": "TPU backend unavailable after retries",
+                    }
+                )
+            )
+            sys.exit(1)
+        time.sleep(180)
+        os.environ["BENCH_RETRY"] = str(retry + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     main()
