@@ -53,3 +53,27 @@ def test_config_hashable():
     # Config must be hashable so it can be a static jit argument
     d = {Config(): 1}
     assert d[Config()] == 1
+
+
+def test_bench_retry_emits_error_json_when_backend_unavailable(monkeypatch, capsys):
+    """bench.py's relay-outage path: after the retry budget it must still
+    print ONE well-formed JSON line (the driver parses stdout) and exit 1."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setenv("BENCH_RETRY", "5")
+    monkeypatch.setattr(bench, "_backend_ready", lambda: False)
+    import pytest
+
+    with pytest.raises(SystemExit) as ei:
+        bench.main_with_retries()
+    assert ei.value.code == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = _json.loads(line)
+    assert payload["metric"] == "train_images_per_sec"
+    assert payload["value"] == 0.0
+    assert "error" in payload
