@@ -57,6 +57,41 @@ def test_train_step_with_cutmix_and_mixup():
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_ae_detached_params_skipped_by_main_optimizer():
+    """torch's main Adam SKIPS params whose .grad is None: for the ae model
+    under the plain ce criterion that is the whole AE subtree and the
+    detached norm1 (everything downstream is stop-gradient'd) — in particular
+    they must receive NO weight decay (network.py:70-112 + torch None-grad
+    skip).  With unsupervised_steps=0 those leaves must stay bit-identical
+    while the rest of the model trains."""
+    cfg = Config(**{**SMALL, "model_name": "ae", "ae_type": "simple",
+                    "unsupervised_steps": 0, "weight_decay": 5e-5})
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    for i in range(3):
+        state, _ = step(state, x_all, y_all, perm, i)
+
+    def frozen_path(names):
+        return any(a == "mixer" and b in ("AE", "norm1")
+                   for a, b in zip(names, names[1:]))
+
+    flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    flat1 = {tuple(str(getattr(k, "key", k)) for k in path): leaf
+             for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    saw_frozen = saw_trained = False
+    for path, before in flat0:
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        after = np.asarray(flat1[names])
+        if frozen_path(names):
+            saw_frozen = True
+            np.testing.assert_array_equal(before, after, err_msg=str(names))
+        elif "U" in names or "V" in names:
+            saw_trained = True
+            assert not np.allclose(before, after), names
+    assert saw_frozen and saw_trained
+
+
 def test_contiguous_batches_matches_gather_path():
     """`contiguous_batches=True` (pre-permuted epoch + dynamic_slice fetch,
     tools/ab_gather.py) must train identically to the production gather path

@@ -232,3 +232,130 @@ def test_training_trajectory_matches_reference():
     np.testing.assert_allclose(ours_losses[0], ours_losses[spe], rtol=1e-5)
     # ... but training must actually move once the lr is nonzero
     assert abs(ours_losses[-spe] - ours_losses[0]) > 1e-3
+
+
+def _flax_to_torch_aevit(params, ref, num_layers):
+    """Transplant our flax AEViT params into the reference torch AEViT
+    (vit.py:405-486 / layers.py:813-907,1089-1196)."""
+    sd = {}
+
+    def lin(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    def ln(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["scale"]))
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    lin("emb", params["emb"])
+    sd["cls_token"] = _t(np.asarray(params["cls_token"]))
+    sd["pos_emb"] = _t(np.asarray(params["pos_emb"]))
+    for i in range(num_layers):
+        e = params[f"enc{i}"]
+        ln(f"enc.{i}.la1", e["la1"])
+        ln(f"enc.{i}.la2", e["la2"])
+        m = e["mixer"]
+        lin(f"enc.{i}.attention.U", m["U"])
+        lin(f"enc.{i}.attention.V", m["V"])
+        ln(f"enc.{i}.attention.norm1", m["norm1"])
+        lin(f"enc.{i}.attention.AE.encoder.0", m["AE"]["encoder"]["fc"])
+        lin(f"enc.{i}.attention.AE.decoder.0", m["AE"]["decoder"]["fc"])
+        lin(f"enc.{i}.mlp.0", e["mlp"]["fc1"])
+        lin(f"enc.{i}.mlp.3", e["mlp"]["fc2"])
+    ln("fc.0", params["fc_norm"])
+    lin("fc.1", params["fc"])
+    ref.load_state_dict(sd)
+
+
+def test_ae_training_trajectory_matches_reference():
+    """Trajectory parity for the reference's DEFAULT model (`ae`): supervised
+    losses AND per-step unsupervised AE losses vs the actual torch stack.
+
+    Exercises the AE-specific integration the ViT trajectory can't: the
+    per-block internal AE Adam (layers.py:844, 893-907) run inside
+    training_step BEFORE the main backward/step (network.py:172-184), and
+    torch's None-grad skip — under the plain ce criterion the main Adam never
+    touches the detached AE/norm1 params (no weight decay, no moments), which
+    our optimizer reproduces by masking their decay (optim.
+    main_optimizer_frozen_fn).  Any drift in either coupling diverges here.
+    """
+    from vit import AEViT as RefAEViT
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W = 16, 4, 3, 1
+    L = 2
+    cfg = Config(
+        model_name="ae", ae_type="simple", dataset="c10", num_layers=L,
+        hidden=64, mlp_hidden=64, head=4, patch=8, batch_size=B,
+        precision="32", label_smoothing=True, warmup_epoch=W, max_epochs=E,
+        synthetic_data=True, dropout=0.0, unsupervised_steps=1,
+        ffn_features=96, ae_hidden_features=32, chunk=False,
+        mask_type="zeros",
+    )
+    assert cfg.criterion == "ce" and not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(1)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    # ---- our side: the REAL train-step machinery --------------------------
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses, ours_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+            ours_unsup.append(float(m["unsupervised_loss"]))
+
+    # ---- torch reference stack with OUR init transplanted -----------------
+    torch.manual_seed(0)
+    ref = RefAEViT(
+        AE_type="simple", seq_len=cfg.seq_len, in_c=3, num_classes=10,
+        img_size=32, patch=8, dropout=0.0, num_layers=L, hidden=64,
+        ffn_features=96, AE_hidden_features=32, chunk=False,
+        encoder_mlp=True, mlp_hidden=64, head=4, mask_type="zeros",
+        is_cls_token=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_aevit(jax.device_get(state0.params), ref, L)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses, ref_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            # unsupervised AE updates inside training_step, BEFORE the main
+            # backward/step (network.py:172-178); Lightning's closure zeroes
+            # grads after training_step, so the MSE backward's .grads never
+            # reach the main optimizer
+            ref_unsup.append(ref.unsupervised_update())
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()  # per-epoch stepping (network.py:113-122)
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours_unsup, ref_unsup, rtol=1e-3, atol=1e-5)

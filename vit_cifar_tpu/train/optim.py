@@ -87,6 +87,54 @@ def flatten_transform(inner: optax.GradientTransformation) -> optax.GradientTran
     return optax.GradientTransformation(init, update)
 
 
+def main_optimizer_frozen_fn(cfg):
+    """torch optimizers SKIP params whose ``.grad`` is None (no autograd
+    path).  For the AE family under the plain ``ce`` criterion the AE subtree
+    and (except heads-without-chunk, layers.py:989-992, where x itself is
+    normalized) the detached ``norm1`` have no grad path — everything
+    downstream of them is stop-gradient'd — so the reference's main optimizer
+    never touches them (network.py:70-112 passes all params, but torch skips
+    None-grads): in particular they receive NO weight decay and no adam
+    moments.  Our grads for those leaves are exactly zero; masking the decay
+    term to zero as well (steps.py passes decay-masked params to tx.update)
+    makes the main update exactly zero — the optax equivalent of torch's
+    skip.  Returns ``frozen(path)->bool`` or None when no leaf is frozen.
+
+    Scoped to adam/sgd: madam's multiplicative update reads the true param
+    values, and the masked-params trick would corrupt them.
+    """
+    if (
+        cfg.model_name != "ae"
+        or cfg.criterion == "aece"
+        or cfg.optimizer not in ("adam", "sgd")
+    ):
+        return None
+    norm1_has_path = cfg.ae_type == "heads" and not cfg.legacy_heads and not cfg.chunk
+
+    def frozen(path: tuple) -> bool:
+        names = [str(p) for p in path]
+        for a, b in zip(names, names[1:]):
+            if a == "mixer" and b == "AE":
+                return True
+            if a == "mixer" and b == "norm1" and not norm1_has_path:
+                return True
+        return False
+
+    return frozen
+
+
+def zero_frozen_leaves(params, frozen):
+    """Zero the leaves ``frozen(path)`` selects (for the decay-params view
+    passed to tx.update); other leaves pass through untouched."""
+    import jax
+
+    def f(path, p):
+        names = tuple(getattr(k, "key", getattr(k, "name", k)) for k in path)
+        return jnp.zeros_like(p) if frozen(names) else p
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def _nnmf_param_label(path: tuple) -> str:
     """Reference routes params whose name contains 'nnmf' or '_weights' to the
     NNMF group (network.py:90-96)."""

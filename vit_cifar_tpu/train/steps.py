@@ -203,12 +203,13 @@ def make_train_step(
     XLA run everything downstream data-parallel and insert the gradient
     ``psum`` over ICI (replaces Lightning DDP, main.py:223-224).
     """
-    from .optim import uses_flat_optimizer
+    from .optim import main_optimizer_frozen_fn, uses_flat_optimizer, zero_frozen_leaves
     from .unsupervised import make_unsupervised_update, uses_unsupervised
 
     unsupervised = uses_unsupervised(cfg)
     run_ae_updates = make_unsupervised_update(cfg)[1] if unsupervised else None
     use_flat = uses_flat_optimizer(cfg)
+    frozen = main_optimizer_frozen_fn(cfg)
     batch_grads = _make_batch_grads(
         cfg,
         model,
@@ -220,6 +221,27 @@ def make_train_step(
     def train_step(state: TrainState, x_all, y_all, perm, i):
         loss, logits, grads, label, new_model_state, intermediates = batch_grads(
             state, x_all, y_all, perm, i
+        )
+
+        # AE-internal optimizer steps run BEFORE the main apply
+        # (network.py:172-184: unsupervised_update happens inside
+        # training_step, before Lightning's backward + optimizer step — the
+        # main update, computed from the forward's gradients, is then applied
+        # ON TOP of the AE-updated values).
+        base_params = state.params
+        new_ae_opt_state = state.ae_opt_state
+        unsup_loss = None
+        if unsupervised:
+            base_params, new_ae_opt_state, unsup_loss = run_ae_updates(
+                state.params, state.ae_opt_state, intermediates
+            )
+
+        # decay-params view: frozen leaves (no torch grad path -> skipped by
+        # torch's optimizer, see optim.main_optimizer_frozen_fn) are zeroed so
+        # add_decayed_weights contributes nothing and their update is exactly
+        # zero.  Their grads are already exactly zero (stop_gradient).
+        decay_params = (
+            zero_frozen_leaves(base_params, frozen) if frozen else base_params
         )
 
         skipped = jnp.zeros((), jnp.float32)
@@ -234,12 +256,13 @@ def make_train_step(
             from jax.flatten_util import ravel_pytree
 
             flat_g, _ = ravel_pytree(grads)
-            flat_p, unravel_p = ravel_pytree(state.params)
+            flat_p, unravel_p = ravel_pytree(base_params)
+            flat_pd = ravel_pytree(decay_params)[0] if frozen else flat_p
             if cfg.nonfinite_guard:
                 grads_ok = jnp.isfinite(loss) & jnp.all(jnp.isfinite(flat_g))
                 flat_g = jnp.where(grads_ok, flat_g, 0.0)
                 skipped = 1.0 - grads_ok.astype(jnp.float32)
-            u_flat, new_opt_state = tx.update(flat_g, state.opt_state, flat_p)
+            u_flat, new_opt_state = tx.update(flat_g, state.opt_state, flat_pd)
             new_flat = flat_p + u_flat.astype(flat_p.dtype)
             if cfg.nonfinite_guard:
                 # zeroed grads still move adam moments; keep the old state
@@ -270,14 +293,14 @@ def make_train_step(
                 )
                 skipped = 1.0 - grads_ok.astype(jnp.float32)
 
-            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, decay_params)
             new_params = jax.tree_util.tree_map(
-                lambda p, u: p + u.astype(p.dtype), state.params, updates
+                lambda p, u: p + u.astype(p.dtype), base_params, updates
             )
             if cfg.nonfinite_guard:
                 new_params = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(skipped > 0, old, new),
-                    new_params, state.params,
+                    new_params, base_params,
                 )
                 new_opt_state = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(skipped > 0, old, new)
@@ -300,13 +323,7 @@ def make_train_step(
         metrics = {"loss": loss, "acc": acc}
         if cfg.nonfinite_guard:
             metrics["skipped_nonfinite"] = skipped
-
-        # AE-internal optimizer steps (network.py:172-178)
-        new_ae_opt_state = state.ae_opt_state
         if unsupervised:
-            new_params, new_ae_opt_state, unsup_loss = run_ae_updates(
-                new_params, state.ae_opt_state, intermediates
-            )
             metrics["unsupervised_loss"] = unsup_loss
 
         # epoch-mean accumulation inside the step (see TrainState.metrics_acc)
