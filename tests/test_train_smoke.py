@@ -92,6 +92,30 @@ def test_ae_detached_params_skipped_by_main_optimizer():
     assert saw_frozen and saw_trained
 
 
+def test_nontrainable_nnmf_weights_skipped_by_main_optimizer():
+    """Without --train-md-bases the reference builds NNMF weights with
+    requires_grad=False, so torch's optimizer never touches them (no weight
+    decay either).  They must stay bit-identical under our optimizer too."""
+    cfg = Config(**{**SMALL, "model_name": "gnnmf_sbs", "train_md_bases": False,
+                    "weight_decay": 5e-5})
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    for i in range(2):
+        state, _ = step(state, x_all, y_all, perm, i)
+    flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    flat1 = {tuple(str(getattr(k, "key", k)) for k in path): leaf
+             for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    saw = False
+    for path, before in flat0:
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        if names[-1] == "nnmf_weights":
+            saw = True
+            np.testing.assert_array_equal(before, np.asarray(flat1[names]),
+                                          err_msg=str(names))
+    assert saw
+
+
 def test_contiguous_batches_matches_gather_path():
     """`contiguous_batches=True` (pre-permuted epoch + dynamic_slice fetch,
     tools/ab_gather.py) must train identically to the production gather path

@@ -100,25 +100,50 @@ def main_optimizer_frozen_fn(cfg):
     makes the main update exactly zero — the optax equivalent of torch's
     skip.  Returns ``frozen(path)->bool`` or None when no leaf is frozen.
 
-    Scoped to adam/sgd: madam's multiplicative update reads the true param
-    values, and the masked-params trick would corrupt them.
+    Two frozen classes:
+      * ae + ce: the detached AE/norm1 subtrees (above);
+      * non-trainable NNMF weights (``--train-md-bases`` off): torch builds
+        them with ``requires_grad=False`` so its optimizers never see them;
+        our custom VJP zeroes their grad (functional.py), leaving only the
+        decay term to mask.  The always-trainable heads-NNMF AE weight
+        (autoencoders.py AutoNNMF, reference layers.py:963-975) is excluded
+        by the AE-subtree carve-out.
+
+    The masked-params view is exact for madam too: its update is
+    ``p * (factor(mu(g+wd*p), nu, p) - 1)``, and every factor reads the same
+    zeroed view, so the update is exactly zero and moments stay zero.
     """
-    if (
-        cfg.model_name != "ae"
-        or cfg.criterion == "aece"
-        or cfg.optimizer not in ("adam", "sgd")
-    ):
+    rules = []
+    if cfg.model_name == "ae" and cfg.criterion != "aece":
+        norm1_has_path = (
+            cfg.ae_type == "heads" and not cfg.legacy_heads and not cfg.chunk
+        )
+
+        def ae_rule(names) -> bool:
+            for a, b in zip(names, names[1:]):
+                if a == "mixer" and b == "AE":
+                    return True
+                if a == "mixer" and b == "norm1" and not norm1_has_path:
+                    return True
+            return False
+
+        rules.append(ae_rule)
+    if not cfg.train_md_bases:
+
+        def nnmf_rule(names) -> bool:
+            return (
+                bool(names)
+                and names[-1] == "nnmf_weights"
+                and "AE" not in names
+            )
+
+        rules.append(nnmf_rule)
+    if not rules:
         return None
-    norm1_has_path = cfg.ae_type == "heads" and not cfg.legacy_heads and not cfg.chunk
 
     def frozen(path: tuple) -> bool:
         names = [str(p) for p in path]
-        for a, b in zip(names, names[1:]):
-            if a == "mixer" and b == "AE":
-                return True
-            if a == "mixer" and b == "norm1" and not norm1_has_path:
-                return True
-        return False
+        return any(r(names) for r in rules)
 
     return frozen
 

@@ -239,10 +239,21 @@ def make_train_step(
         # decay-params view: frozen leaves (no torch grad path -> skipped by
         # torch's optimizer, see optim.main_optimizer_frozen_fn) are zeroed so
         # add_decayed_weights contributes nothing and their update is exactly
-        # zero.  Their grads are already exactly zero (stop_gradient).
-        decay_params = (
-            zero_frozen_leaves(base_params, frozen) if frozen else base_params
-        )
+        # zero.  Their grads are already exactly zero (stop_gradient / the
+        # NNMF VJP's w_trainable gate).  Leaf-identity check runs at trace
+        # time: models with no matching leaf keep the original tree and pay
+        # nothing.
+        decay_params = base_params
+        if frozen is not None:
+            masked = zero_frozen_leaves(base_params, frozen)
+            if any(
+                a is not b
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(masked),
+                    jax.tree_util.tree_leaves(base_params),
+                )
+            ):
+                decay_params = masked
 
         skipped = jnp.zeros((), jnp.float32)
         if use_flat:
@@ -257,7 +268,11 @@ def make_train_step(
 
             flat_g, _ = ravel_pytree(grads)
             flat_p, unravel_p = ravel_pytree(base_params)
-            flat_pd = ravel_pytree(decay_params)[0] if frozen else flat_p
+            flat_pd = (
+                ravel_pytree(decay_params)[0]
+                if decay_params is not base_params
+                else flat_p
+            )
             if cfg.nonfinite_guard:
                 grads_ok = jnp.isfinite(loss) & jnp.all(jnp.isfinite(flat_g))
                 flat_g = jnp.where(grads_ok, flat_g, 0.0)
