@@ -359,3 +359,93 @@ def test_ae_training_trajectory_matches_reference():
 
     np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ours_unsup, ref_unsup, rtol=1e-3, atol=1e-5)
+
+
+def test_ae_trajectory_with_aece_criterion_matches_reference():
+    """Same trajectory-parity harness under the aece criterion
+    (criterions.py:22-61), where — unlike ce — the MAIN Adam also updates the
+    AE params (the sparse-AE loss reaches them), so the reference's ordering
+    becomes observable: unsupervised AE updates run inside training_step
+    BEFORE the main backward/step, and the main update (whose gradients were
+    taken at the forward's values) lands ON TOP of the AE-updated params.
+    Catches any drift in loss composition (MSE + l1_reg*L1 per block + CE).
+
+    unsupervised_steps must be 0 here: the reference CRASHES as shipped when
+    aece is combined with unsupervised updates — unsupervised_update()'s
+    in-place internal Adam step bumps the AE weight version counters that the
+    aece backward graph saved, so loss.backward() raises autograd's
+    "modified by an inplace operation" RuntimeError (verified against the
+    actual reference stack; layers.py:893-907 + criterions.py:22-61).  Our
+    functional train step supports the combination with defined ordering — a
+    working equivalent, documented deviation."""
+    from vit import AEViT as RefAEViT
+    from criterions import AutoencoderCrossEntropyLoss
+
+    B, spe, E, W = 16, 4, 3, 1
+    L = 2
+    cfg = Config(
+        model_name="ae", ae_type="simple", dataset="c10", num_layers=L,
+        hidden=64, mlp_hidden=64, head=4, patch=8, batch_size=B,
+        precision="32", criterion="aece", aece_l1_regularization=0.5,
+        warmup_epoch=W, max_epochs=E, synthetic_data=True, dropout=0.0,
+        unsupervised_steps=0, ffn_features=96, ae_hidden_features=32,
+        chunk=False, mask_type="zeros",
+    )
+
+    rng = np.random.default_rng(7)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    torch.manual_seed(0)
+    ref = RefAEViT(
+        AE_type="simple", seq_len=cfg.seq_len, in_c=3, num_classes=10,
+        img_size=32, patch=8, dropout=0.0, num_layers=L, hidden=64,
+        ffn_features=96, AE_hidden_features=32, chunk=False,
+        encoder_mlp=True, mlp_hidden=64, head=4, mask_type="zeros",
+        is_cls_token=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_aevit(jax.device_get(state0.params), ref, L)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = AutoencoderCrossEntropyLoss(cfg.aece_l1_regularization,
+                                       cfg.aece_l1_outputs)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb, [ref])  # AE_modules = [the AEViT itself]
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
