@@ -18,8 +18,8 @@ Scheduler note: the reference pip-installs ildoonet/pytorch-gradual-warmup-lr
 ``GradualWarmupScheduler`` below reimplements that public package faithfully
 (multiplier==1 linear warmup from 0; the quirk that the un-stepped
 after_scheduler's lr is returned for one extra epoch, so base lr holds for
-epochs W and W+1).  tools/warmup_sim-derived sequences are additionally
-pinned in test_schedule_matches_torch_reference_stepping.
+epochs W and W+1).  The schedule is additionally pinned against the torch
+scheduler stack in test_schedule_matches_torch_reference_stepping.
 """
 
 import math
