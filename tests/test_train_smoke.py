@@ -226,6 +226,30 @@ def test_multichip_matches_single_chip():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_multichip_ae_model_matches_single_chip():
+    """The ae model's full step — including the sown-intermediates collection
+    and the AE-internal Adam update — under 8-device DP must equal 1 device.
+    Covers the sharding of the unsupervised-update tree ops, which no other
+    mesh test exercises."""
+    cfg = Config(**{**SMALL, "model_name": "ae", "ae_type": "simple",
+                    "batch_size": 32, "unsupervised_steps": 1})
+    mesh = make_mesh((8,), ("data",))
+    _, state1, x_all, y_all, step1 = _setup(cfg)
+    _, state8, _, _, step8 = _setup(cfg, mesh=mesh)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    for i in range(2):
+        state1, m1 = step1(state1, x_all, y_all, perm, i)
+        state8, m8 = step8(state8, x_all, y_all, perm, i)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m1["unsupervised_loss"]), float(m8["unsupervised_loss"]), rtol=1e-5
+        )
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_eval_step_mask():
     cfg = Config(**SMALL)
     model, state, x_all, y_all, _ = _setup(cfg)
