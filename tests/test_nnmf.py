@@ -277,6 +277,52 @@ def test_after_care():
     np.testing.assert_array_equal(np.asarray(out["b"]["kernel"]), 1.0)
 
 
+def test_after_care_nnmf_linear_divisor_and_trainable_gate():
+    """The reference clamps at threshold / layer._number_of_input_neurons
+    (network.py:381-386): for NNMFLinear (module name 'nnmf' inside AE
+    DenseBlocks) that is the input width = our weight's axis-0 size; conv
+    NNMF layers in the zoo all have number_of_input_neurons=1.  Leaves the
+    trainable_fn rejects pass through untouched."""
+    w_lin = jnp.full((4, 2), 0.25)  # column-stochastic, 4 input neurons
+    w_conv = jnp.asarray([[0.9999, 0.5], [0.0001, 0.5]])
+    params = {
+        "AE": {"encoder": {"nnmf": {"nnmf_weights": w_lin}}},
+        "mix": {"NNMF": {"nnmf_weights": w_conv}},
+    }
+    out = nnmf_after_care(params, threshold=0.4)
+    # linear leaf: clamp at 0.4/4 = 0.1 -> all entries already above, no-op
+    np.testing.assert_allclose(
+        np.asarray(out["AE"]["encoder"]["nnmf"]["nnmf_weights"]), 0.25, rtol=1e-6
+    )
+    # conv leaf: clamp at 0.4/1 lifts the small entry to >= ~0.4/(1.4)
+    w = np.asarray(out["mix"]["NNMF"]["nnmf_weights"])
+    assert w.min() > 0.28
+    np.testing.assert_allclose(w.sum(0), 1.0, rtol=1e-6)
+
+    gated = nnmf_after_care(
+        params, threshold=0.4, trainable_fn=lambda names: "AE" in names
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gated["mix"]["NNMF"]["nnmf_weights"]), np.asarray(w_conv)
+    )
+
+
+def test_nnmf_weight_trainable_heads_exception():
+    """heads-NNMF AE weights are always trainable (layers.py:941); everything
+    else follows --train-md-bases (network.py:23)."""
+    from vit_cifar_tpu.ops.nnmf.layers import nnmf_weight_trainable
+
+    heads_ae = ["enc0", "mixer", "AE", "nnmf_weights"]
+    ae_linear = ["enc0", "mixer", "AE", "encoder", "nnmf", "nnmf_weights"]
+    gated = ["enc0", "mixer", "NNMF", "nnmf_weights"]
+    assert nnmf_weight_trainable(heads_ae, False)
+    assert nnmf_weight_trainable(heads_ae, True)
+    assert not nnmf_weight_trainable(ae_linear, False)
+    assert nnmf_weight_trainable(ae_linear, True)
+    assert not nnmf_weight_trainable(gated, False)
+    assert nnmf_weight_trainable(gated, True)
+
+
 def test_madam_keeps_weights_positive_and_factor_bounded():
     tx = scale_by_madam(learning_rate=lambda _: 10.0)  # huge lr on purpose
     params = {"w": jnp.asarray([0.5, 0.1, 0.9])}

@@ -116,6 +116,74 @@ def test_nontrainable_nnmf_weights_skipped_by_main_optimizer():
     assert saw
 
 
+def test_aece_frozen_mask_covers_ae_nnmf_weights():
+    """Under the aece criterion the AE subtree gets real main-optimizer grads
+    (the ae freeze rule is off), but NNMF weights inside it with effective
+    w_trainable=False still return grad None in torch (NNMFLinear.py:377-381)
+    and must stay in the frozen mask — no weight decay, no moments
+    (frozen-mask leak found by the round-3 package review).  Unit-level
+    because the aece + use-nnmf-layers forward is non-finite in the torch
+    reference itself (NNMFLinear L1-normalizes the LayerNormed — i.e. signed —
+    AE input, NNMFLinear.py:216; verified: reference AE_output contains
+    non-finite values for this config), so an end-to-end run skips every
+    update via the nonfinite guard."""
+    from vit_cifar_tpu.train.optim import main_optimizer_frozen_fn
+
+    cfg = Config(**{**SMALL, "model_name": "ae", "ae_type": "simple",
+                    "use_nnmf_layers": True, "criterion": "aece",
+                    "train_md_bases": False, "unsupervised_steps": 0,
+                    "weight_decay": 5e-5})
+    frozen = main_optimizer_frozen_fn(cfg)
+    assert frozen is not None
+    # AE-internal NNMFLinear weights: grad None in torch -> frozen
+    assert frozen(("enc0", "mixer", "AE", "encoder", "nnmf", "nnmf_weights"))
+    assert frozen(("enc0", "mixer", "AE", "decoder", "nnmf", "nnmf_weights"))
+    # everything else in the AE trains under aece
+    assert not frozen(("enc0", "mixer", "AE", "encoder", "fc", "kernel"))
+    assert not frozen(("enc0", "mixer", "U", "kernel"))
+
+    # heads: the AE weight is w_trainable=True unconditionally -> NOT frozen
+    cfg_h = Config(**{**SMALL, "model_name": "ae", "ae_type": "heads",
+                      "legacy_heads": False, "use_nnmf_layers": True,
+                      "criterion": "aece", "train_md_bases": False})
+    frozen_h = main_optimizer_frozen_fn(cfg_h)
+    assert frozen_h is None or not frozen_h(
+        ("enc0", "mixer", "AE", "nnmf_weights")
+    )
+
+
+def test_heads_nnmf_ae_after_care_runs_without_train_md_bases():
+    """The heads-NNMF AE weight is built w_trainable=True unconditionally
+    (reference layers.py:941), so the per-batch after-care
+    (norm -> clamp -> norm, network.py:380-386 gated per-layer on
+    _w_trainable) applies to it even with --train-md-bases off.  The clamp at
+    threshold/1 = 1e-3 must lift the sub-threshold entries of the
+    column-stochastic init (columns have seq_len*heads entries, mean ~1/260),
+    so the weight changes and stays column-stochastic."""
+    cfg = Config(**{**SMALL, "model_name": "ae", "ae_type": "heads",
+                    "legacy_heads": False, "use_nnmf_layers": True,
+                    "train_md_bases": False, "unsupervised_steps": 0})
+    model, state, x_all, y_all, step = _setup(cfg)
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = step(state, x_all, y_all, perm, 0)
+    flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    flat1 = {tuple(str(getattr(k, "key", k)) for k in path): leaf
+             for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    saw = False
+    for path, before in flat0:
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        if names[-1] == "nnmf_weights":
+            assert "AE" in names, names  # the heads AE is the only NNMF layer
+            saw = True
+            after = np.asarray(flat1[names])
+            assert (before.min() < 1e-3), "init should have sub-threshold entries"
+            assert not np.array_equal(before, after), names
+            np.testing.assert_allclose(after.sum(0), 1.0, rtol=1e-5)
+            assert after.min() >= 1e-3 / (1.0 + after.shape[0] * 1e-3) - 1e-9
+    assert saw
+
+
 def test_contiguous_batches_matches_gather_path():
     """`contiguous_batches=True` (pre-permuted epoch + dynamic_slice fetch,
     tools/ab_gather.py) must train identically to the production gather path

@@ -63,6 +63,12 @@ class GatedNNMF(nn.Module):
         elif self.nnmf_type == "sbs":
             from .nnmf.layers import NNMFConv2d
 
+            if self.depthwise:
+                # layers.py:387-388 raises; don't silently train non-depthwise
+                raise NotImplementedError(
+                    "depthwise is not implemented for the sbs NNMF backend"
+                )
+
             # layers.py:383-400: 1 input channel, seq_len output channels,
             # kernel (seq_len, 1) over the (T, ffn/2) "image"
             z2 = NNMFConv2d(
@@ -86,6 +92,12 @@ class GatedNNMF(nn.Module):
             z2 = z2.squeeze(-2)
         elif self.nnmf_type == "sbsed":
             from .nnmf.layers import AutoNNMFLayer
+
+            if self.depthwise:
+                # layers.py:427-428 raises; don't silently train non-depthwise
+                raise NotImplementedError(
+                    "depthwise is not implemented for the sbsed NNMF backend"
+                )
 
             z2 = AutoNNMFLayer(
                 number_of_input_neurons=1,

@@ -325,14 +325,18 @@ class HamburgerBurger(nn.Module):
                                name="upper_bread")(x)
             return nn.relu(x + shortcut)
 
-        # V2+ (burger.py:122-206): dual spatial+depthwise hams, learned coefs
+        # V2+ (burger.py:122-206): dual hams with learned coefs.  The dual
+        # construction ASSIGNS args.SPATIAL = True/False per ham
+        # (burger.py:144-146) but the MD base only ever reads DEPTHWISE
+        # (ham.py:18) — SPATIAL is dead, so both reference hams run
+        # spatial = not depthwise.  Replicated as shipped.
         C = 2 * self.MD_D
         x = _HeConv1x1(C, dtype=self.dtype, name="lower_bread")(x)
         if self.ham_type == "NMF":
             x = nn.relu(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x1 = md(spatial=True, name="ham_1")(x1, deterministic=deterministic)
-        x2 = md(spatial=False, name="ham_2")(x2, deterministic=deterministic)
+        x1 = md(spatial=self.spatial, name="ham_1")(x1, deterministic=deterministic)
+        x2 = md(spatial=self.spatial, name="ham_2")(x2, deterministic=deterministic)
         x = jnp.concatenate([x1, x2], axis=-1)
         factor = 2  # CHEESE_FACTOR = S(=1), doubled for dual (burger.py:148-151)
         x = ConvBNReLU(C // factor, dtype=self.dtype, name="cheese")(

@@ -245,33 +245,68 @@ class NNMFLinear(nn.Module):
         return h.astype(self.dtype)
 
 
-def nnmf_after_care(params, threshold: float):
-    """The post-optimizer-step weight care (network.py:380-386 +
-    NNMFLayerSbSBP.py:181-213): for every param named ``nnmf_weights``,
-    column-normalize, clamp to >= threshold/number_of_input_neurons, and
-    normalize again.  Other params pass through untouched.
+def nnmf_weight_trainable(names: list, train_md_bases: bool) -> bool:
+    """Effective ``w_trainable`` for a ``nnmf_weights`` leaf at path ``names``.
 
-    The reference divides the threshold by the layer's
-    ``_number_of_input_neurons``; every NNMF layer in the model zoo is built
-    with number_of_input_neurons=1 (layers.py:390,428,1026), so the caller
-    passes the already-divided value.
+    The heads-NNMF AE layer is built ``w_trainable=True`` UNCONDITIONALLY
+    (reference layers.py:941) — in our tree its weight sits directly under the
+    ``AE`` module name.  Every other NNMF layer follows ``--train-md-bases``
+    via the shared ``_nnmf_params`` dict (network.py:23).
+    """
+    if "AE" in names:
+        rest = names[names.index("AE") + 1 :]
+        if rest == ["nnmf_weights"]:
+            return True
+    return train_md_bases
+
+
+def _after_care_divisor(names: list, p) -> int:
+    """The reference clamps at ``threshold / layer._number_of_input_neurons``
+    (network.py:381-386).  Every conv-style NNMF layer in the zoo has
+    number_of_input_neurons=1 (layers.py:390,428,941); NNMFLinear (only built
+    inside AE DenseBlocks, module name 'nnmf') has number_of_input_neurons ==
+    its input width == our weight's axis-0 size (NNMFLinear.py:56)."""
+    if len(names) >= 2 and names[-2] == "nnmf":
+        return p.shape[0]
+    return 1
+
+
+def nnmf_after_care(params, threshold: float, trainable_fn=None):
+    """The post-optimizer-step weight care (network.py:380-386 +
+    NNMFLayerSbSBP.py:181-213): for every param named ``nnmf_weights`` whose
+    layer is effectively trainable, column-normalize, clamp to
+    ``>= threshold / number_of_input_neurons``, and normalize again.  Other
+    params pass through untouched.
+
+    ``trainable_fn(names) -> bool`` reproduces the per-layer ``_w_trainable``
+    gate inside ``update_after_care`` (NNMFLayerSbSBP.py:181-185) — the
+    reference calls after-care on EVERY discovered NNMF module every batch
+    and each layer self-gates.  ``None`` treats every NNMF weight as
+    trainable (the AE-internal optimizer path, where the whole subtree is the
+    always-trainable heads AE).
     """
 
     def care(path, p):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
         if names and names[-1] == "nnmf_weights":
+            if trainable_fn is not None and not trainable_fn(names):
+                return p
+            thr = threshold / _after_care_divisor(names, p)
             p = p / p.sum(axis=0, keepdims=True)
-            p = jnp.clip(p, min=threshold)
+            p = jnp.clip(p, min=thr)
             p = p / p.sum(axis=0, keepdims=True)
         return p
 
     return jax.tree_util.tree_map_with_path(care, params)
 
 
-def has_nnmf_weights(params) -> bool:
+def has_nnmf_weights(params, trainable_fn=None) -> bool:
+    """True when any ``nnmf_weights`` leaf exists (optionally: any that
+    ``trainable_fn`` accepts)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, _ in flat:
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
         if names and names[-1] == "nnmf_weights":
-            return True
+            if trainable_fn is None or trainable_fn(names):
+                return True
     return False

@@ -148,7 +148,11 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     n_dev = int(np.prod(mesh.devices.shape))
-    assert cfg.batch_size % n_dev == 0, "batch_size must divide the data axis"
+    # the batch is sharded over the 'data' axis only (steps._shard_data), so
+    # divisibility is against that axis, not the total device count — a
+    # (2, 4) data x model mesh needs batch_size % 2 == 0.
+    n_data = mesh.shape["data"] if "data" in mesh.axis_names else 1
+    assert cfg.batch_size % n_data == 0, "batch_size must divide the data axis"
 
     raw = load_dataset(cfg.dataset, cfg.data_dir, cfg.synthetic_data)
     if cfg.semi_supervised:

@@ -102,12 +102,17 @@ def main_optimizer_frozen_fn(cfg):
 
     Two frozen classes:
       * ae + ce: the detached AE/norm1 subtrees (above);
-      * non-trainable NNMF weights (``--train-md-bases`` off): torch builds
-        them with ``requires_grad=False`` so its optimizers never see them;
-        our custom VJP zeroes their grad (functional.py), leaving only the
-        decay term to mask.  The always-trainable heads-NNMF AE weight
-        (autoencoders.py AutoNNMF, reference layers.py:963-975) is excluded
-        by the AE-subtree carve-out.
+      * non-trainable NNMF weights (effective ``w_trainable`` False): the
+        reference's custom backward returns ``grad_weights = None`` for them
+        (NNMFLinear.py:377-381) so torch's optimizer skips them EVERYWHERE —
+        including AE-internal NNMFLinears under the ``aece`` criterion, where
+        the rest of the AE does get main-optimizer grads; our custom VJP
+        zeroes their grad (functional.py), leaving only the decay term to
+        mask.  Effective trainability comes from
+        ``nnmf_weight_trainable`` (ops/nnmf/layers.py): everything follows
+        ``--train-md-bases`` except the heads-NNMF AE weight, which the
+        reference builds ``w_trainable=True`` unconditionally
+        (layers.py:941).
 
     The masked-params view is exact for madam too: its update is
     ``p * (factor(mu(g+wd*p), nu, p) - 1)``, and every factor reads the same
@@ -129,12 +134,13 @@ def main_optimizer_frozen_fn(cfg):
 
         rules.append(ae_rule)
     if not cfg.train_md_bases:
+        from ..ops.nnmf.layers import nnmf_weight_trainable
 
         def nnmf_rule(names) -> bool:
             return (
                 bool(names)
                 and names[-1] == "nnmf_weights"
-                and "AE" not in names
+                and not nnmf_weight_trainable(names, cfg.train_md_bases)
             )
 
         rules.append(nnmf_rule)

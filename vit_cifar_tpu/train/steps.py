@@ -325,14 +325,26 @@ def make_train_step(
                 )
 
         # NNMF weight after-care: norm -> clamp -> norm after every optimizer
-        # step (network.py:380-386); no-op unless trainable NNMF weights exist.
-        if cfg.train_md_bases:
-            from ..ops.nnmf.layers import has_nnmf_weights, nnmf_after_care
+        # step (network.py:380-386).  The reference runs it on EVERY
+        # discovered NNMF module every batch, each layer self-gating on its
+        # own _w_trainable (NNMFLayerSbSBP.py:181-185) — notably the
+        # heads-NNMF AE weight is ALWAYS trainable (layers.py:941), so this
+        # must run even with --train-md-bases off.
+        from ..ops.nnmf.layers import (
+            has_nnmf_weights,
+            nnmf_after_care,
+            nnmf_weight_trainable,
+        )
 
-            if has_nnmf_weights(state.params):
-                new_params = nnmf_after_care(
-                    new_params, cfg.nnmf_learning_rate_threshold_w
-                )
+        trainable_fn = functools.partial(
+            nnmf_weight_trainable, train_md_bases=cfg.train_md_bases
+        )
+        if has_nnmf_weights(state.params, trainable_fn):
+            new_params = nnmf_after_care(
+                new_params,
+                cfg.nnmf_learning_rate_threshold_w,
+                trainable_fn=trainable_fn,
+            )
 
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == label)
         metrics = {"loss": loss, "acc": acc}
