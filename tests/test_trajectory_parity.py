@@ -664,3 +664,153 @@ def test_gnnmf_madam_training_trajectory_matches_reference(local_learning):
     np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
     # the NNMF weights must actually have moved once the lr is nonzero
     assert abs(ours_losses[-1] - ours_losses[0]) > 1e-4
+
+
+def test_gnnmf_ham_ema_bases_trajectory_matches_reference():
+    """Trajectory parity for the Hamburger-core NMF2D under training:
+    gnnmf_ham with PERSISTENT EMA bases (train_md_bases=True -> RAND_INIT=
+    False, layers.py:376-380) vs the actual torch stack, under Adam.
+
+    Exercises the integration the single-module NMF2D transplant can't: the
+    no-grad local_inference iterations + one grad-tracked compute_coef
+    (ham.py:47-57,85-97) inside a full backward, and the in-forward EMA
+    ``online_update`` of the bases buffer (ham.py:102-112, eta=0.1 for NMF)
+    interleaved with optimizer steps across epochs.  Asserts BOTH the
+    per-step loss sequences and the final bases buffers agree.
+
+    Reference crash documented in-test: the harness's NNMF-module discovery
+    (network.py:49-54) matches any module whose NAME contains "nnmf" — for
+    gnnmf_ham that is the NMF2D module itself, which has no
+    ``update_pre_care`` — so on_before_optimizer_step raises AttributeError
+    on the FIRST step: gnnmf_ham cannot train as shipped.  The intended
+    semantics (pre/after care applies only to layers that define it — i.e.
+    none here) is what our train step implements (care touches only
+    ``nnmf_weights`` leaves; NMF2D bases are state, not params).
+    """
+    B, spe, E, W = 8, 3, 3, 1
+    L = 2
+    cfg = Config(
+        model_name="gnnmf_ham", dataset="c10", num_layers=L, hidden=32,
+        mlp_hidden=32, head=1, patch=8, batch_size=B, precision="32",
+        label_smoothing=True, warmup_epoch=W, max_epochs=E,
+        synthetic_data=True, dropout=0.0, optimizer="adam",
+        ffn_features=16, md_iter=3, train_md_bases=True, depthwise=False,
+    )
+    assert not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(13)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    # ---- our side: the REAL train-step machinery --------------------------
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    # ---- torch reference stack with OUR init transplanted -----------------
+    from criterions import LabelSmoothingCrossEntropyLoss
+    from vit import GatedNNMFViT as RefGatedNNMFViT
+
+    torch.manual_seed(0)
+    ref = RefGatedNNMFViT(
+        NNMF_type="ham", seq_len=cfg.seq_len, in_c=3, num_classes=10,
+        img_size=32, patch=8, dropout=0.0, num_layers=L, hidden=32,
+        ffn_features=16, MD_iterations=3, train_bases=True,
+        local_learning=False, depthwise=False, encoder_mlp=True,
+        mlp_hidden=32, head=1, is_cls_token=True, pos_emb=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_gnnmf_ham(jax.device_get(state0.params), ref, L)
+    ref.train()
+
+    nmf_modules = [ref.enc[i].attention.NNMF for i in range(L)]
+    # the harness calls update_pre_care on every name-matched "nnmf" module
+    # (network.py:49-54, 326-333); NMF2D has neither care method — gnnmf_ham
+    # training crashes as shipped on the first optimizer step
+    ms0 = jax.device_get(state0.model_state)["state"]
+    for i, mod in enumerate(nmf_modules):
+        assert not hasattr(mod, "update_pre_care")
+        assert not hasattr(mod, "update_after_care")
+        # RAND_INIT=False registers the persistent buffer lazily on the first
+        # forward (ham.py:76-78); pre-register with OUR init so both stacks
+        # start from identical bases
+        mod.register_buffer(
+            "bases", _t(np.asarray(ms0[f"enc{i}"]["mixer"]["NNMF"]["bases"]))
+        )
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+    # the EMA-updated bases buffers must agree at the end too
+    ms = jax.device_get(state.model_state)["state"]
+    for i, mod in enumerate(nmf_modules):
+        np.testing.assert_allclose(
+            np.asarray(ms[f"enc{i}"]["mixer"]["NNMF"]["bases"]),
+            mod.bases.detach().numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def _flax_to_torch_gnnmf_ham(params, ref, num_layers):
+    """Transplant for the gnnmf_ham variant: same trunk as gnnmf_sbs but the
+    NNMF module is NMF2D (parameter-free; its persistent bases buffer is
+    transplanted separately by the caller)."""
+    sd = ref.state_dict()
+
+    def lin(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    def ln(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["scale"]))
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    lin("emb", params["emb"])
+    sd["cls_token"] = _t(np.asarray(params["cls_token"]))
+    sd["pos_emb"] = _t(np.asarray(params["pos_emb"]))
+    for i in range(num_layers):
+        e = params[f"enc{i}"]
+        ln(f"enc.{i}.la1", e["la1"])
+        ln(f"enc.{i}.la2", e["la2"])
+        m = e["mixer"]
+        lin(f"enc.{i}.attention.U", m["U"])
+        lin(f"enc.{i}.attention.V", m["V"])
+        ln(f"enc.{i}.attention.norm", m["norm"])
+        lin(f"enc.{i}.mlp.0", e["mlp"]["fc1"])
+        lin(f"enc.{i}.mlp.3", e["mlp"]["fc2"])
+    ln("fc.0", params["fc_norm"])
+    lin("fc.1", params["fc"])
+    ref.load_state_dict(sd)
