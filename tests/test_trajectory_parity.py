@@ -814,3 +814,164 @@ def _flax_to_torch_gnnmf_ham(params, ref, num_layers):
     ln("fc.0", params["fc_norm"])
     lin("fc.1", params["fc"])
     ref.load_state_dict(sd)
+
+
+def _flax_to_torch_lgcnn(params, ref, num_layers, normalization):
+    """Transplant our flax LocalGlobalCNN params into the reference torch
+    LocalGlobalCNN (cnn.py:32-109 / layers.py:572-810).
+
+    NHWC conv kernels (kh, kw, in, out) -> torch (out, in, kh, kw); the 2D
+    cls "token" (k, k, C) -> torch (C, k, k).  BN running stats keep their
+    defaults (both stacks start at mean=0 / var=1 / 0 batches tracked)."""
+    sd = ref.state_dict()
+
+    def conv(dst, node):
+        k = np.asarray(node["Conv_0"]["kernel"])
+        sd[f"{dst}.weight"] = _t(k.transpose(3, 2, 0, 1))
+        sd[f"{dst}.bias"] = _t(np.asarray(node["Conv_0"]["bias"]))
+
+    def lin(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    def norm(dst, node):
+        # batch_norm: bare BatchNorm2d; layer_norm: Sequential(T, LN, T) -> .1
+        if normalization == "batch_norm":
+            n = node["TorchBatchNorm_0"]
+        else:
+            n = node["LayerNorm_0"]
+            dst = f"{dst}.1"
+        sd[f"{dst}.weight"] = _t(np.asarray(n["scale"]))
+        sd[f"{dst}.bias"] = _t(np.asarray(n["bias"]))
+
+    conv("emb", params["emb"])
+    sd["cls_token"] = _t(np.asarray(params["cls_token"]).transpose(2, 0, 1))
+    for i in range(num_layers):
+        e = params[f"enc{i}"]
+        norm(f"enc.{i}.la1", e["la1"])
+        norm(f"enc.{i}.la2", e["la2"])
+        a = e["attention"]
+        conv(f"enc.{i}.attention.local_conv_in", a["local_conv_in"])
+        conv(f"enc.{i}.attention.local_conv_out", a["local_conv_out"])
+        norm(f"enc.{i}.attention.norm", a["norm"])
+        lin(f"enc.{i}.attention.global_transform", a["global_transform"])
+        conv(f"enc.{i}.mlp.0", e["mlp"]["c1"])
+        conv(f"enc.{i}.mlp.3", e["mlp"]["c2"])
+    sd["fc.0.weight"] = _t(np.asarray(params["fc_norm"]["scale"]))
+    sd["fc.0.bias"] = _t(np.asarray(params["fc_norm"]["bias"]))
+    lin("fc.1", params["fc"])
+    ref.load_state_dict(sd)
+
+
+def test_lgcnn_batchnorm_training_trajectory_matches_reference():
+    """Trajectory parity for lgcnn with normalization="batch_norm" — the one
+    stateful pathway (BN running stats) no other trajectory test covers.
+
+    Checks three couplings at once: (1) per-step training losses through our
+    real jitted train step (BN normalizing with batch stats while training),
+    (2) the final running stats against torch's UNBIASED accumulation across
+    every BN in the tree — including the shared-module double updates (one BN
+    serves x then cls_token in each forward, layers.py:617-623, 755-768) and
+    the (B, C, 1, 1) cls-token batches where biased-vs-unbiased differs by
+    B/(B-1) — and (3) eval logits computed from those running stats
+    (cnn.py:97-103 under model.eval())."""
+    from cnn import LocalGlobalCNN as RefLGCNN
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W, L = 16, 4, 4, 1, 2
+    cfg = Config(
+        model_name="lgcnn", dataset="c10", num_layers=L, hidden=32,
+        ffn_features=64, mlp_hidden=32, patch=8, kernel_size=1,
+        batch_size=B, precision="32", label_smoothing=True, warmup_epoch=W,
+        max_epochs=E, synthetic_data=True, dropout=0.0,
+        cnn_normalization="batch_norm",
+    )
+    assert not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(3)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    # ---- our side: the REAL train-step machinery --------------------------
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    assert "batch_stats" in state.model_state
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    # ---- torch reference stack with OUR init transplanted -----------------
+    torch.manual_seed(0)
+    ref = RefLGCNN(
+        weight_gated=False, num_layers=L, in_c=3, num_classes=10,
+        n_channels=32, hidden_features=64, img_size=32, patch=8,
+        kernel_size=1, use_cls_token=True, mlp_hidden=32, dropout=0.0,
+        normalization="batch_norm", use_mlp=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_lgcnn(jax.device_get(state0.params), ref, L, "batch_norm")
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()  # per-epoch stepping (network.py:113-122)
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+
+    # ---- running stats: every BN, torch's unbiased accumulation -----------
+    bs = jax.device_get(state.model_state["batch_stats"])
+    rsd = ref.state_dict()
+    for i in range(L):
+        for ours_path, torch_mod in [
+            (bs[f"enc{i}"]["la1"], f"enc.{i}.la1"),
+            (bs[f"enc{i}"]["la2"], f"enc.{i}.la2"),
+            (bs[f"enc{i}"]["attention"]["norm"], f"enc.{i}.attention.norm"),
+        ]:
+            n = ours_path["TorchBatchNorm_0"]
+            np.testing.assert_allclose(
+                n["mean"], rsd[f"{torch_mod}.running_mean"].numpy(),
+                rtol=1e-3, atol=1e-4, err_msg=torch_mod)
+            np.testing.assert_allclose(
+                n["var"], rsd[f"{torch_mod}.running_var"].numpy(),
+                rtol=1e-3, atol=1e-4, err_msg=torch_mod)
+
+    # ---- eval logits from the running stats -------------------------------
+    ref.eval()
+    x_ev = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    xe = (x_ev.astype(np.float32) / 255.0 - np.asarray(cfg.mean)) / np.asarray(cfg.std)
+    ours_logits = model.apply(
+        {"params": state.params, **jax.device_get(state.model_state)},
+        jnp.asarray(xe), deterministic=True)
+    ref_logits = ref(_t(xe.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours_logits), ref_logits.detach().numpy(),
+        rtol=1e-3, atol=1e-4)

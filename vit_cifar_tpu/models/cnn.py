@@ -21,7 +21,15 @@ the reference's NCHW):
   * WeightLocalGlobalConvolution (layers.py:644-719): the global transform
     emits a per-sample (C/2, C/2) mixing matrix applied with an einsum; note
     this requires n_channels == hidden_features/2 (true for the reference
-    defaults: hidden 384, ffn 768).
+    defaults: hidden 384, ffn 768).  With normalization="batch_norm" the
+    reference crashes as shipped (BatchNorm2d on the 3D (B, C/2, p^2+k^2)
+    tensor, layers.py:681,699 — _check_input_dim raises); our channel-norm
+    handles it, a working equivalent.
+  * batch_norm uses TorchBatchNorm (ops/norm.py) — torch running-stat
+    semantics (unbiased running_var), with the reference's shared-module
+    double update (x then cls through ONE BN per site); trajectory-parity
+    tested end-to-end incl. running stats + eval logits
+    (tests/test_trajectory_parity.py).
   * head: LayerNorm + Linear on the flattened cls token (cnn.py:86-91)
   * no-cls-token raises (cnn.py:52-54, 92-95)
 
@@ -41,6 +49,7 @@ import jax.numpy as jnp
 
 from ..ops.basic import ANN, CNN
 from ..ops.init import TorchConv, TorchLinear, normal
+from ..ops.norm import TorchBatchNorm
 
 Dtype = Any
 
@@ -60,7 +69,7 @@ class _ChannelNorm(nn.Module):
         if self.normalization == "layer_norm":
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         if self.normalization == "batch_norm":
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 epsilon=1e-5, momentum=0.9, dtype=self.dtype,
                 use_running_average=deterministic,
             )(x)

@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .init import TorchConv, TorchLinear
+from .norm import TorchBatchNorm
 
 Dtype = Any
 
@@ -36,7 +37,7 @@ class ANN(nn.Module):
         for i, feats in enumerate(self.layers[1:]):
             x = TorchLinear(feats, dtype=self.dtype, name=f"fc{i}")(x)
             if self.batchnorm:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     epsilon=1e-5, momentum=0.9, dtype=self.dtype,
                     use_running_average=deterministic, name=f"bn{i}",
                 )(x)
@@ -70,7 +71,7 @@ class CNN(nn.Module):
                 name=f"conv{i}",
             )(x)
             if self.batchnorm:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     epsilon=1e-5, momentum=0.9, dtype=self.dtype,
                     use_running_average=deterministic, name=f"bn{i}",
                 )(x)

@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import TorchLinear
+from .norm import TorchBatchNorm
 
 Dtype = Any
 
@@ -250,13 +251,19 @@ class _HeConv1x1(nn.Module):
 
 
 class _BN(nn.Module):
-    """bread.py norm_layer: SyncBN(momentum=3e-4) -> flax BN(momentum=0.9997)."""
+    """bread.py norm_layer: SyncBN(momentum=3e-4) -> TorchBatchNorm(0.9997).
+
+    The sync_bn package follows torch _BatchNorm running-stat semantics
+    (unbiased running_var: sync_bn.py:128-132, `sumvar / (size - 1)`);
+    TorchBatchNorm preserves that, and under pjit the batch stats are global
+    by construction (GSPMD), which is the SyncBN behavior itself.
+    """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             epsilon=1e-5, momentum=1.0 - 3e-4, dtype=self.dtype,
             use_running_average=deterministic,
         )(x)
