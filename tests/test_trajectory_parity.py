@@ -163,10 +163,15 @@ def test_schedule_matches_torch_reference_stepping():
                                    err_msg=f"W={W} T={T}")
 
 
-def test_training_trajectory_matches_reference():
+@pytest.mark.parametrize("optimizer", ["adam", "sgd"])
+def test_training_trajectory_matches_reference(optimizer):
     """Transplant-initialized multi-step trajectory parity (round-2 verdict
     missing #1): per-step losses of our real jitted train step vs the torch
-    reference stack over 4 simulated epochs on identical fixed batches."""
+    reference stack over 4 simulated epochs on identical fixed batches.
+
+    Parametrized over the reference's adam AND sgd paths (network.py:71-84:
+    SGD uses momentum=beta1, classic L2 weight decay, no dampening/nesterov
+    — our add_decayed_weights + optax.trace chain)."""
     from vit import ViT as RefViT
     from criterions import LabelSmoothingCrossEntropyLoss
 
@@ -175,7 +180,7 @@ def test_training_trajectory_matches_reference():
         model_name="vit", dataset="c10", num_layers=2, hidden=64,
         mlp_hidden=64, head=4, patch=8, batch_size=B, precision="32",
         label_smoothing=True, warmup_epoch=W, max_epochs=E,
-        synthetic_data=True, dropout=0.0,
+        synthetic_data=True, dropout=0.0, optimizer=optimizer,
     )
     assert not cfg.cutmix and not cfg.mixup  # no mixing randomness
 
@@ -212,9 +217,14 @@ def test_training_trajectory_matches_reference():
     _flax_to_torch_vit(jax.device_get(state0.params), ref, 2)
     ref.train()
 
-    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
-                           betas=(cfg.beta1, cfg.beta2),
-                           weight_decay=cfg.weight_decay)
+    if optimizer == "sgd":
+        opt = torch.optim.SGD(ref.parameters(), lr=cfg.lr,
+                              momentum=cfg.beta1,
+                              weight_decay=cfg.weight_decay)
+    else:
+        opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                               betas=(cfg.beta1, cfg.beta2),
+                               weight_decay=cfg.weight_decay)
     cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
     sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
     crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
