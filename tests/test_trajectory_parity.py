@@ -985,3 +985,80 @@ def test_lgcnn_batchnorm_training_trajectory_matches_reference():
     np.testing.assert_allclose(
         np.asarray(ours_logits), ref_logits.detach().numpy(),
         rtol=1e-3, atol=1e-4)
+
+
+def test_wlgcnn_training_trajectory_matches_reference():
+    """Trajectory parity for wlgcnn (weight-gated, layers.py:644-719): the
+    data-dependent (C/2, C/2) channel-mixing einsum, the channel chunk taken
+    over the CONCATENATED [x | cls] flattened tensor (layers.py:697), and the
+    channel-axis LayerNorm via the reference's Transpose shim.  batch_norm is
+    not tested because the reference crashes as shipped on it (BatchNorm2d on
+    a 3D tensor, layers.py:681,699)."""
+    from cnn import LocalGlobalCNN as RefLGCNN
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W, L = 16, 4, 3, 1, 2
+    cfg = Config(
+        model_name="wlgcnn", dataset="c10", num_layers=L, hidden=32,
+        ffn_features=64, mlp_hidden=32, patch=8, kernel_size=1,
+        batch_size=B, precision="32", label_smoothing=True, warmup_epoch=W,
+        max_epochs=E, synthetic_data=True, dropout=0.0,
+        cnn_normalization="layer_norm",
+    )
+    assert not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(4)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    torch.manual_seed(0)
+    ref = RefLGCNN(
+        weight_gated=True, num_layers=L, in_c=3, num_classes=10,
+        n_channels=32, hidden_features=64, img_size=32, patch=8,
+        kernel_size=1, use_cls_token=True, mlp_hidden=32, dropout=0.0,
+        normalization="layer_norm", use_mlp=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_lgcnn(jax.device_get(state0.params), ref, L, "layer_norm")
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
