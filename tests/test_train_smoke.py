@@ -387,3 +387,42 @@ def test_train_step_with_rcpaste():
     perm = jnp.arange(len(x_all), dtype=jnp.int32)
     state, metrics = step(state, x_all, y_all, perm, 0)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multichip_batchnorm_model_matches_single_chip():
+    """lgcnn with normalization="batch_norm" under 8-device DP must equal
+    1 device — params, losses, AND the BN running stats.  This is the SyncBN
+    parity claim (reference hamburger/sync_bn.py, SURVEY #56) re-proven for
+    TorchBatchNorm: under GSPMD the batch mean/var reductions run over the
+    GLOBAL batch (XLA inserts the cross-device psums), which is exactly what
+    SynchronizedBatchNorm does with its thread-queue machinery."""
+    # sgd, not adam: adam's early updates are ~sign(g)*lr, so a reduction-
+    # order sign flip on a noise-scale gradient element shifts a param by
+    # 2*lr — sgd keeps noise proportional, which is what an equality test
+    # of the BN *sync* (not the optimizer) needs
+    cfg = Config(**{**SMALL, "model_name": "lgcnn", "num_layers": 1,
+                    "hidden": 32, "ffn_features": 64, "mlp_hidden": 32,
+                    "batch_size": 32, "cnn_normalization": "batch_norm",
+                    "optimizer": "sgd"})
+    mesh = make_mesh((8,), ("data",))
+    _, state1, x_all, y_all, step1 = _setup(cfg)
+    _, state8, _, _, step8 = _setup(cfg, mesh=mesh)
+    assert "batch_stats" in state1.model_state
+    perm = jnp.arange(len(x_all), dtype=jnp.int32)
+    for i in range(2):
+        state1, m1 = step1(state1, x_all, y_all, perm, i)
+        state8, m8 = step8(state8, x_all, y_all, perm, i)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # tolerances: the cross-device mean/var psums reduce in a different
+    # order than the single-device sums; the fp32 noise passes through the
+    # BN rsqrt and two Adam steps (vit/ae mesh tests have no such reduction)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=3e-5)
+    bs1 = jax.tree_util.tree_leaves(state1.model_state["batch_stats"])
+    bs8 = jax.tree_util.tree_leaves(state8.model_state["batch_stats"])
+    assert bs1 and len(bs1) == len(bs8)
+    for a, b in zip(bs1, bs8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
