@@ -1062,3 +1062,92 @@ def test_wlgcnn_training_trajectory_matches_reference():
         sch.step()
 
     np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunk", [False, True])
+def test_ae_heads_trajectory_matches_reference(chunk):
+    """Trajectory parity for ae_type="heads" (AEAttentionHeads,
+    layers.py:910-1086), both chunk modes.
+
+    chunk=False is the ONE AE config where the detached-subtree rule has an
+    exception: x itself passes through norm1 (layers.py:984-986), so norm1
+    gets real main-optimizer gradients (and weight decay) while the AE stays
+    detached — our frozen mask encodes exactly this (optim.py
+    norm1_has_path).  chunk=True detaches norm1 again (only z is normalized,
+    layers.py:981-983).  Each mode's per-step supervised AND unsupervised
+    losses must track the torch stack; a wrong frozen-mask branch diverges
+    within an epoch once the lr is nonzero."""
+    from vit import AEViT as RefAEViT
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W, L = 16, 4, 3, 1, 1
+    cfg = Config(
+        model_name="ae", ae_type="heads", legacy_heads=False, dataset="c10",
+        num_layers=L, hidden=64, mlp_hidden=64, head=4, patch=8,
+        batch_size=B, precision="32", label_smoothing=True, warmup_epoch=W,
+        max_epochs=E, synthetic_data=True, dropout=0.0, unsupervised_steps=1,
+        ffn_features=96, ae_hidden_features=32, chunk=chunk,
+        mask_type="zeros",
+    )
+    assert cfg.criterion == "ce" and not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(5)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses, ours_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+            ours_unsup.append(float(m["unsupervised_loss"]))
+
+    torch.manual_seed(0)
+    ref = RefAEViT(
+        AE_type="heads", legacy_heads=False, seq_len=cfg.seq_len, in_c=3,
+        num_classes=10, img_size=32, patch=8, dropout=0.0, num_layers=L,
+        hidden=64, ffn_features=96, AE_hidden_features=32,
+        AE_hidden_seq_len=cfg.ae_hidden_seq_len, chunk=chunk,
+        encoder_mlp=True, mlp_hidden=64, head=4, mask_type="zeros",
+        is_cls_token=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_aevit(jax.device_get(state0.params), ref, L)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses, ref_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            ref_unsup.append(ref.unsupervised_update())
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours_unsup, ref_unsup, rtol=1e-3, atol=1e-5)
