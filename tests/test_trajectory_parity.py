@@ -1151,3 +1151,127 @@ def test_ae_heads_trajectory_matches_reference(chunk):
 
     np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ours_unsup, ref_unsup, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("ae_type,order_2d", [
+    ("transpose", None),
+    ("2d", "fsfs"),
+    ("2d", "sffs"),
+    ("2d", "sfsf"),
+])
+def test_ae_transpose_and_2d_trajectory_matches_reference(ae_type, order_2d):
+    """Trajectory parity for the remaining AE variants: "transpose"
+    (AutoencoderT over the token axis, autoencoders.py:63-79) and "2d"
+    (Autoencoder2D with both reachable factorization orders,
+    autoencoders.py:129-175) — supervised AND unsupervised per-step losses.
+
+    These pin the AXIS semantics of the AE integration: transpose runs the
+    linear pair on the transposed (…, F, T) view; 2d interleaves feature- and
+    seq-axis encoders in order_2d.  A flipped transpose or swapped order
+    matches every single-module test that uses symmetric shapes but diverges
+    here (T=65 vs F=96 are distinct)."""
+    from vit import AEViT as RefAEViT
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W, L = 16, 4, 3, 1, 1
+    cfg = Config(
+        model_name="ae", ae_type=ae_type, dataset="c10", num_layers=L,
+        hidden=64, mlp_hidden=64, head=4, patch=8, batch_size=B,
+        precision="32", label_smoothing=True, warmup_epoch=W, max_epochs=E,
+        synthetic_data=True, dropout=0.0, unsupervised_steps=1,
+        ffn_features=96, ae_hidden_features=32, chunk=False,
+        mask_type="zeros", **({"order_2d": order_2d} if order_2d else {}),
+    )
+    assert cfg.criterion == "ce" and not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(6)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses, ours_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+            ours_unsup.append(float(m["unsupervised_loss"]))
+
+    torch.manual_seed(0)
+    ref = RefAEViT(
+        AE_type=ae_type, seq_len=cfg.seq_len, in_c=3, num_classes=10,
+        img_size=32, patch=8, dropout=0.0, num_layers=L, hidden=64,
+        ffn_features=96, AE_hidden_features=32,
+        AE_hidden_seq_len=cfg.ae_hidden_seq_len, chunk=False,
+        order_2d=order_2d or "sfsf", encoder_mlp=True, mlp_hidden=64,
+        head=4, mask_type="zeros", is_cls_token=True,
+    )
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    p0 = jax.device_get(state0.params)
+    if ae_type == "transpose":
+        _flax_to_torch_aevit(p0, ref, L)
+    else:
+        # 2d: four linears instead of encoder/decoder
+        sd = ref.state_dict()
+        for i in range(L):
+            e = p0[f"enc{i}"]
+            m = e["mixer"]
+            for dst, node in [
+                (f"enc.{i}.la1", e["la1"]), (f"enc.{i}.la2", e["la2"]),
+                (f"enc.{i}.attention.norm1", m["norm1"]),
+                ("fc.0", p0["fc_norm"]),
+            ]:
+                sd[f"{dst}.weight"] = _t(np.asarray(node["scale"]))
+                sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+            for dst, node in [
+                ("emb", p0["emb"]),
+                (f"enc.{i}.attention.U", m["U"]),
+                (f"enc.{i}.attention.V", m["V"]),
+                (f"enc.{i}.mlp.0", e["mlp"]["fc1"]),
+                (f"enc.{i}.mlp.3", e["mlp"]["fc2"]),
+                ("fc.1", p0["fc"]),
+            ] + [
+                (f"enc.{i}.attention.AE.{nm}.0", m["AE"][nm]["fc"])
+                for nm in ("enc_features", "enc_seq", "dec_features", "dec_seq")
+            ]:
+                sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+                sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+        sd["cls_token"] = _t(np.asarray(p0["cls_token"]))
+        sd["pos_emb"] = _t(np.asarray(p0["pos_emb"]))
+        ref.load_state_dict(sd)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses, ref_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            ref_unsup.append(ref.unsupervised_update())
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours_unsup, ref_unsup, rtol=1e-3, atol=1e-5)
