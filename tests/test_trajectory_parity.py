@@ -511,10 +511,13 @@ def _flax_to_torch_gnnmf(params, ref, num_layers):
     ref.load_state_dict(sd)
 
 
-@pytest.mark.parametrize("local_learning", [False, True])
-def test_gnnmf_madam_training_trajectory_matches_reference(local_learning):
-    """Trajectory parity for the NNMF research path: gnnmf_sbs + the Madam
-    optimizer vs the actual torch stack, over 3 simulated epochs.
+@pytest.mark.parametrize("nnmf_type,local_learning",
+                         [("sbs", False), ("sbs", True), ("sbsed", False)])
+def test_gnnmf_madam_training_trajectory_matches_reference(nnmf_type, local_learning):
+    """Trajectory parity for the NNMF research path: gnnmf_sbs/gnnmf_sbsed +
+    the Madam optimizer vs the actual torch stack, over 3 simulated epochs.
+    The sbsed backend is the AutoNNMFLayer encoder/decoder
+    (layers.py:402-441) with its fold-based overlapping decode.
 
     This is the integration the single-module NNMF tests can't cover: the
     hand-derived NNMFFunctionalBP backward WITH its grad-scale mode
@@ -542,7 +545,7 @@ def test_gnnmf_madam_training_trajectory_matches_reference(local_learning):
     B, spe, E, W = 8, 3, 3, 1
     L = 2
     cfg = Config(
-        model_name="gnnmf_sbs", dataset="c10", num_layers=L, hidden=32,
+        model_name=f"gnnmf_{nnmf_type}", dataset="c10", num_layers=L, hidden=32,
         mlp_hidden=32, head=1, patch=8, batch_size=B, precision="32",
         label_smoothing=True, warmup_epoch=W, max_epochs=E,
         synthetic_data=True, dropout=0.0, optimizer="madam",
@@ -587,7 +590,7 @@ def test_gnnmf_madam_training_trajectory_matches_reference(local_learning):
     torch.device = lambda *a, **k: real_device("cpu")
     try:
         ref = RefGatedNNMFViT(
-            NNMF_type="sbs", seq_len=cfg.seq_len, in_c=3, num_classes=10,
+            NNMF_type=nnmf_type, seq_len=cfg.seq_len, in_c=3, num_classes=10,
             img_size=32, patch=8, dropout=0.0, num_layers=L, hidden=32,
             ffn_features=16, MD_iterations=3, train_bases=True,
             local_learning=local_learning, depthwise=False,
@@ -607,9 +610,9 @@ def test_gnnmf_madam_training_trajectory_matches_reference(local_learning):
     ]
     assert len(nnmf_layers) == L
 
-    # gnnmf_sbs CRASHES as shipped: the model zoo leaves NNMFConv2d's default
-    # dilation=[0,0] (layers.py:383-400), which torch's unfold rejects at
-    # runtime.  Prove the as-shipped crash, then run the INTENDED semantics
+    # gnnmf_sbs AND gnnmf_sbsed CRASH as shipped: the model zoo leaves the
+    # NNMF layer's default dilation=[0,0] (layers.py:383-400 / AutoNNMFLayer
+    # default, layers.py:424-441), which torch's unfold rejects at runtime.  Prove the as-shipped crash, then run the INTENDED semantics
     # (dilation=1 — what the reference's own __main__ smoke block passes, and
     # what our unfold implements; see ops/nnmf/functional.py docstring).
     from nnmf.utils import calculate_output_size
@@ -618,13 +621,20 @@ def test_gnnmf_madam_training_trajectory_matches_reference(local_learning):
         ref(torch.zeros(1, 3, 32, 32))
     for layer in nnmf_layers:
         layer._dilation = [1, 1]
-        layer._output_size = calculate_output_size(
+        fixed = calculate_output_size(
             value=list(layer._input_size),
             kernel_size=layer._kernel_size,
             stride=layer._stride,
             dilation=layer._dilation,
             padding=layer._padding,
         )
+        if hasattr(layer, "_inbetween_size"):
+            # AutoNNMFLayer: _output_size IS the input size (it decodes back,
+            # AutoNNMFLayer.py:93-102); the dilation-derived one is
+            # _inbetween_size, used by the unfold->fold pair (:251-265)
+            layer._inbetween_size = fixed
+        else:
+            layer._output_size = fixed
 
     # configure_optimizers' madam branch (network.py:85-110): params split by
     # name, nnmf group at lr_nnmf with nnmf=True, shared weight decay
