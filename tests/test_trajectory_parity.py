@@ -1433,3 +1433,159 @@ def test_mixer_family_trajectory_matches_reference(family):
         sch.step()
 
     np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+
+
+def test_ae_heads_nnmf_trajectory_matches_reference():
+    """Trajectory parity for the NNMF-heads AE variant (AEAttentionHeads with
+    nnmf=True, layers.py:928-946): the AE is an AutoNNMFLayer trained by an
+    AE-internal MADAM (layers.py:963-975) inside the unsupervised loop with
+    in-loop pre/after care (layers.py:1077-1085), while the harness-level
+    care ALSO applies around the main optimizer step (the AE module matches
+    the discovery scan via its ``_weights`` attribute, network.py:49-54).
+    Under the ce criterion the main Adam itself never touches the detached AE
+    — but the after-care's norm->clamp->norm does, every batch.
+
+    Asserts the SUPERVISED loss sequence only.  The unsupervised MSE is
+    provably not comparable here: the heads AE input is SIGNED (norm1 output,
+    no ReLU — unlike the gnnmf paths, layers.py:448), and the NNMF iterate
+    renormalizes with ``h / (h.sum + eps)`` where the sum of signed terms
+    passes through zero.  Measured: our iterate and torch's agree to 1e-10
+    in float64 on benign inputs (signed included, uniform weights) — they
+    are algebraically identical — yet on this config's transplanted init the
+    same comparison diverges by O(70) in float64: a division-by-~zero chaos
+    regime where ANY arithmetic-order difference amplifies unboundedly (the
+    torch reference itself would not reproduce across BLAS builds).  The
+    supervised path stays comparable because the AE enters it only through a
+    softmax over distances.  Both unsup sequences are asserted finite."""
+    from vit import AEViT as RefAEViT
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W, L = 8, 3, 3, 1, 1
+    cfg = Config(
+        model_name="ae", ae_type="heads", legacy_heads=False, dataset="c10",
+        num_layers=L, hidden=64, mlp_hidden=64, head=4, patch=8,
+        batch_size=B, precision="32", label_smoothing=True, warmup_epoch=W,
+        max_epochs=E, synthetic_data=True, dropout=0.0, unsupervised_steps=1,
+        ffn_features=96, ae_hidden_features=32, chunk=False,
+        mask_type="zeros", use_nnmf_layers=True, train_md_bases=True,
+        md_iter=3,
+    )
+    assert cfg.criterion == "ce" and not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(8)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses, ours_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+            ours_unsup.append(float(m["unsupervised_loss"]))
+
+    # torch.device("cuda") is hardcoded in the nnmf modules; patch onto CPU.
+    # Pre-import torch._dynamo: Madam's add_param_group lazily imports it,
+    # and its `str | torch.device` annotations break under the patch.
+    import torch._dynamo  # noqa: F401
+    import nnmf.NNMFLayerSbSBP  # noqa: F401
+
+    torch.manual_seed(0)
+    real_device = torch.device
+    torch.device = lambda *a, **k: real_device("cpu")
+    try:
+        ref = RefAEViT(
+            AE_type="heads", legacy_heads=False, seq_len=cfg.seq_len, in_c=3,
+            num_classes=10, img_size=32, patch=8, dropout=0.0, num_layers=L,
+            hidden=64, ffn_features=96, AE_hidden_features=32,
+            AE_hidden_seq_len=cfg.ae_hidden_seq_len, chunk=False,
+            encoder_mlp=True, mlp_hidden=64, head=4, mask_type="zeros",
+            is_cls_token=True, nnmf=True,
+            nnmf_params={"number_of_iterations": cfg.md_iter,
+                         "w_trainable": True, "local_learning": False,
+                         "keep_last_grad_scale": True,
+                         "disable_scale_grade": False},
+        )
+    finally:
+        torch.device = real_device
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    p0 = jax.device_get(state0.params)
+    sd = ref.state_dict()
+
+    def lin(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    def ln(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["scale"]))
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    lin("emb", p0["emb"])
+    sd["cls_token"] = _t(np.asarray(p0["cls_token"]))
+    sd["pos_emb"] = _t(np.asarray(p0["pos_emb"]))
+    for i in range(L):
+        e = p0[f"enc{i}"]
+        m = e["mixer"]
+        ln(f"enc.{i}.la1", e["la1"])
+        ln(f"enc.{i}.la2", e["la2"])
+        lin(f"enc.{i}.attention.U", m["U"])
+        lin(f"enc.{i}.attention.V", m["V"])
+        ln(f"enc.{i}.attention.norm1", m["norm1"])
+        sd[f"enc.{i}.attention.AE._weights"] = _t(np.asarray(m["AE"]["nnmf_weights"]))
+        lin(f"enc.{i}.mlp.0", e["mlp"]["fc1"])
+        lin(f"enc.{i}.mlp.3", e["mlp"]["fc2"])
+    ln("fc.0", p0["fc_norm"])
+    lin("fc.1", p0["fc"])
+    ref.load_state_dict(sd)
+    ref.train()
+
+    # discovery scan (network.py:49-54): the AE matches via hasattr _weights
+    nnmf_layers = [
+        mod for name, mod in ref.named_modules()
+        if "nnmf" in name.lower() or hasattr(mod, "_weights")
+    ]
+    assert len(nnmf_layers) == L
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses, ref_unsup = [], []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            ref_unsup.append(ref.unsupervised_update())
+            opt.zero_grad()
+            loss.backward()
+            for layer in nnmf_layers:
+                layer.update_pre_care()
+            opt.step()
+            for layer in nnmf_layers:
+                layer.update_after_care(
+                    cfg.nnmf_learning_rate_threshold_w
+                    / layer._number_of_input_neurons
+                )
+            ref_losses.append(float(loss))
+        sch.step()
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+    # chaotic regime (see docstring): assert well-posedness, not equality
+    assert np.all(np.isfinite(ours_unsup)) and np.all(np.isfinite(ref_unsup))
