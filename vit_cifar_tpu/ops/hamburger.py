@@ -22,10 +22,12 @@ Semantics preserved:
     JAX has no buffers, so this is explicit mutable state in the train step.
   * burger conv weights He-normal with fan = k*k*OUT channels
     (burger.py:44-50); BN gamma=1, beta=0; BN momentum 3e-4 (bread.py:17).
-  * SynchronizedBatchNorm -> plain flax BatchNorm: under pjit the batch is one
-    global logical tensor, so BN stats are cross-replica by construction —
-    the entire SyncMaster/SlavePipe thread machinery (hamburger/comm.py)
-    has no equivalent here because nothing needs it.
+  * SynchronizedBatchNorm -> TorchBatchNorm (ops/norm.py, torch running-stat
+    semantics incl. the unbiased running_var of sync_bn.py:128-132): under
+    pjit the batch is one global logical tensor, so BN stats are
+    cross-replica by construction — the entire SyncMaster/SlavePipe thread
+    machinery (hamburger/comm.py) has no equivalent here because nothing
+    needs it.
 
 Known-broken reference behavior NOT replicated (documented):
   * ``hamburger``/``hamburger_attention`` CRASH in the reference for any
