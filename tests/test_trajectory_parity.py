@@ -1589,3 +1589,150 @@ def test_ae_heads_nnmf_trajectory_matches_reference():
     np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
     # chaotic regime (see docstring): assert well-posedness, not equality
     assert np.all(np.isfinite(ours_unsup)) and np.all(np.isfinite(ref_unsup))
+
+
+class _FixedBaselineCNN(torch.nn.Module):
+    """cnn.py:6-29 with ONLY its two undefined names repaired: the
+    ``super(ClassifierBase, self)`` typo becomes ``super()``, and the missing
+    ``calculate_last_layer_size`` is the flattened conv-map size (32 channels
+    x 15x15 after one VALID 3x3 conv + 2x2 maxpool on 32x32 = 7200).  The
+    building blocks are the reference's OWN working ANN/CNN
+    (layers.py:1300-1350); factory args from utils.py:323-328."""
+
+    def __init__(self):
+        super().__init__()
+        from layers import ANN as RefANN, CNN as RefCNN
+
+        self.conv = RefCNN([3, 32])
+        self.ann = RefANN([7200, 1024, 10])
+
+    def forward(self, x):
+        x = self.conv(x)
+        x = x.reshape(x.shape[0], -1)
+        return self.ann(x)
+
+
+def _flax_to_torch_cnn_baseline(params, ref):
+    """Transplant our BaselineCNN params.  fc0 consumes the FLATTENED conv
+    map, so its rows must be permuted between our NHWC flatten order
+    (15, 15, 32) and torch's NCHW order (32, 15, 15)."""
+    sd = ref.state_dict()
+    c = params["conv"]["conv0"]["Conv_0"]
+    sd["conv.blocks.0.weight"] = _t(np.asarray(c["kernel"]).transpose(3, 2, 0, 1))
+    sd["conv.blocks.0.bias"] = _t(np.asarray(c["bias"]))
+    sd["conv.blocks.1.weight"] = _t(np.asarray(params["conv"]["bn0"]["scale"]))
+    sd["conv.blocks.1.bias"] = _t(np.asarray(params["conv"]["bn0"]["bias"]))
+    w0 = np.asarray(params["ann"]["fc0"]["kernel"])  # (7200, 1024), NHWC rows
+    w0 = w0.reshape(15, 15, 32, -1).transpose(2, 0, 1, 3).reshape(7200, -1)
+    sd["ann.blocks.0.weight"] = _t(w0.T)
+    sd["ann.blocks.0.bias"] = _t(np.asarray(params["ann"]["fc0"]["bias"]))
+    sd["ann.blocks.2.weight"] = _t(np.asarray(params["ann"]["fc1"]["kernel"]).T)
+    sd["ann.blocks.2.bias"] = _t(np.asarray(params["ann"]["fc1"]["bias"]))
+    ref.load_state_dict(sd)
+
+
+def test_cnn_baseline_trajectory_and_relu_collapse_match_reference():
+    """Trajectory parity for cnn_baseline — and proof that its inability to
+    learn is the REFERENCE DESIGN's own behavior, not our bug.
+
+    The reference ANN appends the activation after EVERY layer including the
+    last (layers.py:1308-1310), so the 10-way logits are ReLU-clamped.  Once
+    the optimizer pushes all 10 pre-activations negative, every logit is 0,
+    softmax is uniform, the loss pins to exactly ln(10), and the gradient
+    through the dead ReLUs vanishes — a permanent fixed point (observed on
+    the real TPU: a 10-epoch synthetic run sits at loss 2.3026 from epoch 2
+    on).  This test transplants our init into the repaired-glue reference
+    stack (_FixedBaselineCNN), trains both at an lr high enough to reach the
+    collapse within a few steps, and asserts (1) the per-step loss sequences
+    agree, (2) BOTH stacks hit the exact ln(10) dead state, (3) BN running
+    stats and eval logits still agree afterwards."""
+    B, spe, E, W = 16, 4, 4, 1
+    cfg = Config(
+        model_name="cnn_baseline", dataset="c10", batch_size=B,
+        precision="32", label_smoothing=False, warmup_epoch=W, max_epochs=E,
+        synthetic_data=True, dropout=0.0, lr=0.1,
+    )
+    assert cfg.criterion == "ce" and not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(11)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    # ---- our side: the REAL train-step machinery --------------------------
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    assert "batch_stats" in state.model_state
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    # ---- torch reference stack with OUR init transplanted -----------------
+    torch.manual_seed(0)
+    ref = _FixedBaselineCNN()
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    _flax_to_torch_cnn_baseline(jax.device_get(state0.params), ref)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = torch.nn.CrossEntropyLoss()  # label_smoothing off (network.py:135)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss))
+        sch.step()  # per-epoch stepping (network.py:113-122)
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)
+
+    # the trajectories must be non-trivial (start off the fixed point) and
+    # BOTH end in the exact ReLU-dead state: loss == ln(10), all logits 0
+    ln10 = math.log(10.0)
+    assert abs(ours_losses[0] - ln10) > 1e-3, "test started at the fixed point"
+    assert abs(ours_losses[-1] - ln10) < 1e-5 and abs(ref_losses[-1] - ln10) < 1e-5
+
+    # ---- BN running stats + eval logits from them -------------------------
+    bs = jax.device_get(state.model_state["batch_stats"])
+    rsd = ref.state_dict()
+    # slightly looser than the lgcnn BN check: 16 steps at lr=0.1 (needed to
+    # reach the collapse) amplify fp drift in the conv weights feeding BN
+    np.testing.assert_allclose(bs["conv"]["bn0"]["mean"],
+                               rsd["conv.blocks.1.running_mean"].numpy(),
+                               rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(bs["conv"]["bn0"]["var"],
+                               rsd["conv.blocks.1.running_var"].numpy(),
+                               rtol=1e-2, atol=1e-3)
+
+    ref.eval()
+    x_ev = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    xe = (x_ev.astype(np.float32) / 255.0 - np.asarray(cfg.mean)) / np.asarray(cfg.std)
+    ours_logits = model.apply(
+        {"params": state.params, **jax.device_get(state.model_state)},
+        jnp.asarray(xe), deterministic=True)
+    ref_logits = ref(_t(xe.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours_logits),
+                               ref_logits.detach().numpy(),
+                               rtol=1e-3, atol=1e-4)

@@ -306,6 +306,12 @@ class BaselineCNN(nn.Module):
     """Working equivalent of cnn.py:6-29 (broken as shipped: undefined
     ``ClassifierBase`` and ``calculate_last_layer_size``, cnn.py:13,17).
     Factory args from utils.py:323-328: cnn_features=[32], ann_layers=[1024, 10].
+
+    Reference design quirk, reproduced faithfully: ANN ReLU-clamps the final
+    logits (layers.py:1308-1310), so training collapses to a permanent
+    dead-logits fixed point at loss == ln(10) once all 10 pre-activations go
+    negative — proven identical to the torch stack in
+    tests/test_trajectory_parity.py (cnn_baseline trajectory + collapse).
     """
 
     num_classes: int = 10
