@@ -1736,3 +1736,131 @@ def test_cnn_baseline_trajectory_and_relu_collapse_match_reference():
     np.testing.assert_allclose(np.asarray(ours_logits),
                                ref_logits.detach().numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_ae_baseline_trajectory_matches_reference():
+    """Trajectory parity for ae_baseline against a repaired-glue build of the
+    reference BaselineAEViT.
+
+    The reference crashes at CONSTRUCTION only, and both repairs are
+    unambiguous: (1) BaselineAEAttentionTransformerEncoder requires a ``mask``
+    argument that vit.py:523-531 never passes — and the class body never USES
+    it (layers.py:1242-1259), so any value restores the intended module
+    unchanged; (2) ``Autoencoder(ffn//2, AE_hidden)`` (layers.py:1207) omits
+    the required ``nnmf`` positional — the baseline has no NNMF machinery, so
+    ``nnmf=False`` (the plain Linear path) is the only meaningful choice.
+    The forward itself is intact, so this validates our structured two-term
+    collapse of the (B, T, T, F/2) masked-AE tensor (ops/ae_attention.py:
+    334-382) against the reference's materialized version through real
+    training dynamics — including the baseline's defining difference from
+    `ae`: NOTHING is detached, so the main Adam trains the AE and both norms
+    through the attention map."""
+    import layers as ref_layers
+    import vit as ref_vit
+    from criterions import LabelSmoothingCrossEntropyLoss
+
+    B, spe, E, W, L = 16, 4, 3, 1, 2
+    cfg = Config(
+        model_name="ae_baseline", dataset="c10", num_layers=L, hidden=64,
+        mlp_hidden=64, patch=8, batch_size=B, precision="32",
+        label_smoothing=True, warmup_epoch=W, max_epochs=E,
+        synthetic_data=True, dropout=0.0, ffn_features=96,
+        ae_hidden_features=32,
+    )
+    assert cfg.criterion == "ce" and not cfg.cutmix and not cfg.mixup
+
+    rng = np.random.default_rng(13)
+    N = B * spe
+    x_u8 = rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, N).astype(np.int32)
+
+    # ---- our side: the REAL train-step machinery --------------------------
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, spe)
+    state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, tx, pre_augmented=True))
+    x_all = jnp.asarray(x_u8.reshape(N, -1))
+    y_all = jnp.asarray(y_np)
+    perm = jnp.arange(N, dtype=jnp.int32)
+
+    ours_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            state, m = step(state, x_all, y_all, perm, i)
+            ours_losses.append(float(m["loss"]))
+
+    # ---- torch reference stack, repaired glue, OUR init transplanted ------
+    torch.manual_seed(0)
+    real_enc = ref_vit.BaselineAEAttentionTransformerEncoder
+    real_ae = ref_layers.Autoencoder
+    ref_vit.BaselineAEAttentionTransformerEncoder = (
+        lambda **kw: real_enc(mask=False, **kw))
+    ref_layers.Autoencoder = lambda i, h: real_ae(i, h, nnmf=False)
+    try:
+        ref = ref_vit.BaselineAEViT(
+            seq_len=cfg.seq_len, in_c=3, num_classes=10, img_size=32,
+            patch=8, dropout=0.0, num_layers=L, hidden=64, ffn_features=96,
+            AE_hidden=32, encoder_mlp=True, mlp_hidden=64, is_cls_token=True,
+        )
+    finally:
+        ref_vit.BaselineAEAttentionTransformerEncoder = real_enc
+        ref_layers.Autoencoder = real_ae
+
+    state0 = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+    p0 = jax.device_get(state0.params)
+    sd = ref.state_dict()
+
+    def lin(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    def ln(dst, node):
+        sd[f"{dst}.weight"] = _t(np.asarray(node["scale"]))
+        sd[f"{dst}.bias"] = _t(np.asarray(node["bias"]))
+
+    lin("emb", p0["emb"])
+    sd["cls_token"] = _t(np.asarray(p0["cls_token"]))
+    sd["pos_emb"] = _t(np.asarray(p0["pos_emb"]))
+    for i in range(L):
+        e = p0[f"enc{i}"]
+        m = e["mixer"]
+        ln(f"enc.{i}.la1", e["la1"])
+        ln(f"enc.{i}.la2", e["la2"])
+        lin(f"enc.{i}.attention.U", m["U"])
+        lin(f"enc.{i}.attention.V", m["V"])
+        ln(f"enc.{i}.attention.norm1", m["norm1"])
+        ln(f"enc.{i}.attention.norm2", m["norm2"])
+        lin(f"enc.{i}.attention.AE.encoder.0", m["AE"]["encoder"]["fc"])
+        lin(f"enc.{i}.attention.AE.decoder.0", m["AE"]["decoder"]["fc"])
+        lin(f"enc.{i}.mlp.0", e["mlp"]["fc1"])
+        lin(f"enc.{i}.mlp.3", e["mlp"]["fc2"])
+    ln("fc.0", p0["fc_norm"])
+    lin("fc.1", p0["fc"])
+    ref.load_state_dict(sd)
+    ref.train()
+
+    opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                           betas=(cfg.beta1, cfg.beta2),
+                           weight_decay=cfg.weight_decay)
+    cos = CosineAnnealingLR(opt, T_max=cfg.max_epochs, eta_min=cfg.min_lr)
+    sch = GradualWarmupScheduler(opt, 1.0, W, after_scheduler=cos)
+    crit = LabelSmoothingCrossEntropyLoss(classes=10, smoothing=cfg.smoothing)
+
+    mean = np.asarray(cfg.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(cfg.std, np.float32).reshape(1, 3, 1, 1)
+    x_chw = (x_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0 - mean) / std
+
+    ref_losses = []
+    for _ in range(E):
+        for i in range(spe):
+            xb = _t(x_chw[i * B:(i + 1) * B])
+            yb = torch.from_numpy(y_np[i * B:(i + 1) * B].astype(np.int64))
+            out = ref(xb)
+            loss = crit(out, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss.detach()))
+        sch.step()  # per-epoch stepping (network.py:113-122)
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=1e-3, atol=1e-4)

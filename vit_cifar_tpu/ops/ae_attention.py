@@ -337,7 +337,11 @@ class BaselineAEAttention(nn.Module):
     Working equivalent: the reference model crashes as shipped (the factory
     passes nonexistent args.ae_hidden, utils.py:293; the encoder requires a
     ``mask`` argument never provided, layers.py:1251 vs vit.py:521-534; the
-    Autoencoder is built with the wrong arity, layers.py:1207).
+    Autoencoder is built with the wrong arity, layers.py:1207).  All three
+    crashes are construction-time glue with unambiguous repairs (``mask`` is
+    never used; ``nnmf=False`` is the only meaningful arity fix), so this
+    module IS trajectory-parity-tested against the repaired reference —
+    tests/test_trajectory_parity.py::test_ae_baseline_trajectory_matches_reference.
     """
 
     features: int
