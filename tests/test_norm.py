@@ -98,6 +98,25 @@ def test_batchnorm1d_2d_input_parity():
     )
 
 
+def test_single_value_per_channel_raises_like_torch():
+    """torch raises 'Expected more than 1 value per channel when training';
+    the reference's sync_bn likewise asserts size > 1.  A silent zero-variance
+    running update would let a misconfigured batch train quietly (round-3
+    advisor finding)."""
+    mod = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
+    x0 = np.zeros((4, 3), np.float32)
+    variables = mod.init(
+        jax.random.PRNGKey(0), jnp.asarray(x0), use_running_average=False
+    )
+    with pytest.raises(ValueError, match="more than 1 value per channel"):
+        _apply_train(mod, variables, jnp.zeros((1, 3), jnp.float32))
+    # torch parity on the torch side of the fence too
+    ref = torch.nn.BatchNorm1d(3)
+    ref.train()
+    with pytest.raises(ValueError):
+        ref(torch.zeros((1, 3)))
+
+
 def test_shared_module_double_call_updates_stats_twice_in_order():
     """The reference applies ONE BatchNorm to x then cls_token in a single
     forward (layers.py:617-623): running stats update twice, sequentially.

@@ -415,7 +415,7 @@ def test_multichip_batchnorm_model_matches_single_chip():
         np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
     # tolerances: the cross-device mean/var psums reduce in a different
     # order than the single-device sums; the fp32 noise passes through the
-    # BN rsqrt and two Adam steps (vit/ae mesh tests have no such reduction)
+    # BN rsqrt and two sgd steps (vit/ae mesh tests have no such reduction)
     for a, b in zip(jax.tree_util.tree_leaves(state1.params),
                     jax.tree_util.tree_leaves(state8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

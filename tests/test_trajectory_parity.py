@@ -1346,9 +1346,10 @@ def test_mixer_family_trajectory_matches_reference(family):
     projection) over 3 simulated epochs.
 
     Not covered because the reference crashes as shipped: hamburger /
-    hamburger_attention (3D tensor into Conv2d, layers.py:252-259),
-    ae_baseline (BaselineAEAttentionTransformerEncoder missing `mask` arg at
-    construction, vit.py:523), cnn_baseline (undefined names, cnn.py:13,17).
+    hamburger_attention (3D tensor into Conv2d, layers.py:252-259).  The two
+    construction-crash baselines ARE covered via repaired-glue reference
+    builds later in this file (test_ae_baseline_trajectory_matches_reference,
+    test_cnn_baseline_trajectory_matches_reference).
     """
     from vit import AttentionFreeViT, GatedMLPViT, WeightGatedMLPViT, LinearAttentionViT
     from criterions import LabelSmoothingCrossEntropyLoss

@@ -69,7 +69,18 @@ class TorchBatchNorm(nn.Module):
             var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
             if not self.is_initializing():
                 n = x.size // feats
-                unbiased = var * (n / max(n - 1, 1))
+                if n <= 1:
+                    # torch raises "Expected more than 1 value per channel when
+                    # training" (_BatchNorm._check_input_dim path) and the
+                    # reference's sync_bn asserts input.size(1) > 1
+                    # (sync_batchnorm.py) — silently storing a zero-variance
+                    # running update would let a misconfigured batch train
+                    # quietly instead of failing like the reference.
+                    raise ValueError(
+                        "TorchBatchNorm: expected more than 1 value per channel "
+                        f"when training, got input size {x.shape}"
+                    )
+                unbiased = var * (n / (n - 1))
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
