@@ -153,6 +153,10 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     # (2, 4) data x model mesh needs batch_size % 2 == 0.
     n_data = mesh.shape["data"] if "data" in mesh.axis_names else 1
     assert cfg.batch_size % n_data == 0, "batch_size must divide the data axis"
+    # eval batches shard over the same axis (steps.make_eval_step)
+    assert cfg.eval_batch_size % n_data == 0, (
+        "eval_batch_size must divide the data axis"
+    )
 
     raw = load_dataset(cfg.dataset, cfg.data_dir, cfg.synthetic_data)
     if cfg.semi_supervised:
@@ -331,7 +335,7 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
             out_shardings=repl,
         )
 
-    eval_step = make_eval_step(cfg, model)
+    eval_step = make_eval_step(cfg, model, mesh=mesh)
 
     def eval_all(params, mstate):
         def body(carry, i):
