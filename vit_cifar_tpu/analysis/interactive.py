@@ -279,7 +279,30 @@ function render(){
     }
   }
 }
+function rolloutSelfTest(){
+  // Executes on EVERY page load: the JS rollout above is checked against an
+  // expected tensor computed at generation time by the Python reference
+  // implementation (analysis/attention_maps.get_joint_attentions).  A
+  // mismatch paints a red banner — the formula cannot silently drift.
+  const tv=window.__ROLLOUT_TEST;if(!tv)return;
+  const T=tv.T,TT=T*T;const saveD=D;D={T:T};
+  const layers=tv.input.map(lay=>[{h:0,m:Float32Array.from(lay)}]);
+  let maxdiff=Infinity;
+  try{
+    const got=rollout(layers); // [head=0][layer] -> Float32Array(TT)
+    maxdiff=0;
+    for(let l=0;l<tv.expected.length;l++)
+      for(let i=0;i<TT;i++)
+        maxdiff=Math.max(maxdiff,Math.abs(got[0][l][i]-tv.expected[l][i]));
+  }finally{D=saveD;}
+  window.__ROLLOUT_SELFTEST=maxdiff<1e-5?"pass":"fail:maxdiff="+maxdiff;
+  if(!(maxdiff<1e-5)){const b=document.createElement("div");
+    b.style.cssText="background:#c00;color:#fff;padding:6px;font-size:.9em;position:fixed;top:0;left:0;right:0;z-index:9";
+    b.textContent="rollout self-test FAILED ("+window.__ROLLOUT_SELFTEST+")";
+    document.body.prepend(b);}
+}
 function init(){
+  rolloutSelfTest();
   const ms=document.getElementById("model");
   MODELS.forEach((m,i)=>{const o=document.createElement("option");
     o.value=i;o.textContent=m.name;ms.appendChild(o);});
@@ -336,8 +359,32 @@ def generate_interactive(
             )
         tags.append(f'<script src="data_{i}.js"></script>')
         i += 1
-    html = _HTML.replace("<script>", "\n".join(tags) + "\n<script>", 1)
+    test_tag = f"<script>window.__ROLLOUT_TEST={json.dumps(rollout_test_vector())};</script>"
+    html = _HTML.replace("<script>", "\n".join(tags + [test_tag]) + "\n<script>", 1)
     index = os.path.join(out_dir, "index.html")
     with open(index, "w") as f:
         f.write(html)
     return index
+
+
+def rollout_test_vector(L: int = 3, T: int = 4) -> dict:
+    """Deterministic input + expected rollout for the page's client-side
+    self-test (``rolloutSelfTest``): ``input`` is (L,) lists of T*T
+    attention-like values, ``expected`` the reference rollout
+    (get_joint_attentions, attention/utils.py:70-105) per layer.  Tested to
+    match the Python implementation in tests/test_analysis.py; executed by
+    the browser on every page load."""
+    from .attention_maps import get_joint_attentions
+
+    rng = np.random.default_rng(42)
+    # round the INPUT first so the expected rollout is computed from exactly
+    # the values the JS will see after JSON serialization
+    attn = np.round(rng.random((L, 1, 1, T, T)), 6).astype(np.float32)
+    joint = get_joint_attentions(attn)  # (L,1,1,T,T)
+    return {
+        "T": T,
+        "input": [[round(float(v), 6) for v in attn[l, 0, 0].reshape(-1)]
+                  for l in range(L)],
+        "expected": [[round(float(v), 6) for v in joint[l, 0, 0].reshape(-1)]
+                     for l in range(L)],
+    }
