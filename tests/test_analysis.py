@@ -234,3 +234,73 @@ def test_rollout_selftest_vector_embedded_and_correct(tmp_path):
     assert "function rolloutSelfTest()" in html
     assert "rolloutSelfTest();" in html
     assert "__ROLLOUT_SELFTEST" in html
+
+
+def test_graph_render_rows_and_pngs(tmp_path):
+    """Rendered model-graph PNGs (reference network.py:397-452 draws graphviz
+    images of the model and of enc[0] at depth 5; here: matplotlib
+    block-diagrams fed by flax's tabulate trace)."""
+    from vit_cifar_tpu.analysis.graph_render import (
+        encoder_block_rows, module_rows, render_graph,
+    )
+
+    cfg = Config(**SMALL)
+    model, _ = get_model(cfg)
+    k = jax.random.PRNGKey(0)
+    rows = module_rows(
+        model, {"params": k, "dropout": k, "mask": k},
+        jnp.zeros((2, 32, 32, 3), jnp.float32), depth=5, deterministic=True,
+    )
+    # the trace must contain the real module tree in call order
+    names = [r.path for r in rows]
+    assert ("emb",) in names and ("enc0",) in names and ("fc",) in names
+    assert names.index(("emb",)) < names.index(("enc0",)) < names.index(("fc",))
+    vit_row = rows[0]
+    assert vit_row.path == () and vit_row.out_shape == (2, 10)
+    # param counts come from the traced variables, not a side channel
+    emb = next(r for r in rows if r.path == ("emb",))
+    assert emb.n_params == 48 * 48 + 48  # patch_dim(4*4*3=48) x hidden + bias
+
+    enc = encoder_block_rows(rows)
+    assert enc is not None
+    sub = {r.path[-1] for r in enc}
+    assert {"la1", "mixer", "la2", "mlp"} <= sub
+    # only enc0's subtree, nothing from enc1
+    assert all(not (len(r.path) and r.path[0] == "enc1") for r in enc)
+
+    p1, p2 = tmp_path / "model.png", tmp_path / "enc.png"
+    render_graph([r for r in rows if len(r.path) <= 2], str(p1))
+    render_graph(enc, str(p2))
+    assert p1.stat().st_size > 5000 and p2.stat().st_size > 5000
+
+
+def test_graph_render_no_encoder_model():
+    """Models without an enc* stack yield None -> the reference's warning path."""
+    from vit_cifar_tpu.analysis.graph_render import (
+        encoder_block_rows, module_rows,
+    )
+
+    cfg = Config(model_name="cnn_baseline", batch_size=8, precision="32")
+    model, _ = get_model(cfg)
+    k = jax.random.PRNGKey(0)
+    rows = module_rows(
+        model, {"params": k, "dropout": k, "mask": k},
+        jnp.zeros((2, 32, 32, 3), jnp.float32), depth=4, deterministic=True,
+    )
+    assert rows, "cnn_baseline must trace"
+    assert encoder_block_rows(rows) is None
+
+
+def test_train_writes_graph_pngs(tmp_path):
+    """The fit-start hook writes model_graph.png + the encoder-block PNG."""
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**SMALL).replace(
+        dry_run=True, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "models"),
+    )
+    res = train(cfg, verbose=False)
+    log_dir = res["log_dir"]
+    assert os.path.exists(os.path.join(log_dir, "model_graph.png"))
+    pngs = [f for f in os.listdir(log_dir) if f.endswith("_encoder_block.png")]
+    assert pngs, f"no encoder-block png in {os.listdir(log_dir)}"

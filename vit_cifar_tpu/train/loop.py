@@ -237,8 +237,11 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     if verbose:
         print(summary)
 
-    # model-graph artifact (the torchview.draw_graph equivalent,
+    # model-graph artifacts (the torchview.draw_graph equivalents,
     # network.py:397-452): a structural module/shape table via nn.tabulate
+    # plus rendered block-diagram PNGs of the model and — like the
+    # reference's `draw_graph(self.model.enc[0], depth=5)` — of the first
+    # encoder block
     try:
         import flax.linen as fnn
 
@@ -248,6 +251,26 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
             depth=4, console_kwargs={"width": 160},
         )(sample, deterministic=True)
         logger.log_text("model_graph.txt", graph)
+
+        from ..analysis.graph_render import (
+            encoder_block_rows, module_rows, render_graph,
+        )
+
+        rows = module_rows(
+            model, {"params": k, "dropout": k, "mask": k}, sample,
+            depth=5, deterministic=True,
+        )
+        overview = [r for r in rows if len(r.path) <= 2]
+        render_graph(overview, os.path.join(logger.dir, "model_graph.png"))
+        enc = encoder_block_rows(rows)
+        if enc is not None:
+            render_graph(
+                enc,
+                os.path.join(logger.dir, f"{experiment}_encoder_block.png"),
+            )
+        else:
+            # reference behavior for models without an encoder stack
+            print("[WARNING] Failed to draw encoder graph.")
     except Exception as e:  # rendering must never kill training
         print(f"[vit_cifar_tpu] model graph logging failed: {e}")
 
@@ -574,5 +597,6 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         "images_per_sec": images_seen / max(total_time, 1e-9),
         "n_params": n_params,
         "ckpt_dir": ckpt.root,
+        "log_dir": logger.dir,
         "synthetic_data": raw.synthetic,
     }
