@@ -15,9 +15,13 @@ kernel is opt-in via MultiHeadSelfAttention(use_pallas=True).
 
 Measured on one v5e chip (B=128, H=12, T=65, D=32, fp32): 1.81 ms vs 0.90 ms
 for XLA's fused einsums — the mandatory lane padding (D 32 -> 128) quadruples
-the MXU work at this size, so XLA remains the default.  The kernel becomes
-the right tool when head_dim >= 128 (no padding waste) or when T grows enough
-that keeping the (H,T,T) attention tensor out of HBM dominates.
+the MXU work at this size, so XLA remains the default.  Re-tested in round 4
+with read-synced windows and a grid-(B,H) masked-block variant
+(docs/PERFORMANCE.md "Fused Pallas attention, re-tested"): both layouts stay
+3-5x slower than XLA's fused core — each (b,h) program is two ~(80,128)
+matmuls, too little work to hide Mosaic per-program overhead.  The kernel
+becomes the right tool when head_dim >= 128 (no padding waste) or when T
+grows enough that keeping the (H,T,T) attention tensor out of HBM dominates.
 """
 
 from __future__ import annotations
