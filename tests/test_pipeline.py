@@ -1,0 +1,185 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-virtual-CPU mesh.
+
+No reference equivalent (the reference is Lightning-DDP data-parallel only,
+reference main.py:223-224); these tests pin the GPipe execution against the
+sequential trunk: identical math per example, so a pipelined forward, its
+gradients, and a full pipelined train step must all agree with the
+single-device run to fp32 round-off.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.models import get_model
+from vit_cifar_tpu.parallel.mesh import make_mesh
+from vit_cifar_tpu.parallel.pipeline import (
+    PipelineViT,
+    has_pipe_axis,
+    stack_block_params,
+)
+from vit_cifar_tpu.train.loop import init_state
+from vit_cifar_tpu.train.optim import make_optimizer
+from vit_cifar_tpu.train.steps import make_eval_step, make_train_step
+
+SMALL = dict(model_name="vit", num_layers=4, hidden=48, mlp_hidden=48, head=4,
+             batch_size=16, eval_batch_size=16, precision="32",
+             label_smoothing=True, synthetic_data=True, warmup_epoch=0)
+
+
+def _model_and_params(cfg):
+    model, _ = get_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(
+        {"params": k, "dropout": k, "mask": k}, x, deterministic=True
+    )
+    return model, variables["params"]
+
+
+def _rand_images(n):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(
+        rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("mesh_shape,mesh_axes,microbatches", [
+    ((4,), ("pipe",), 2),
+    ((2,), ("pipe",), 1),
+    ((2, 4), ("data", "pipe"), 4),
+])
+def test_pipeline_forward_matches_sequential(mesh_shape, mesh_axes, microbatches):
+    cfg = Config(**SMALL)
+    model, params = _model_and_params(cfg)
+    x = _rand_images(8)
+    ref = model.apply({"params": params}, x, deterministic=True)
+
+    mesh = make_mesh(mesh_shape, mesh_axes)
+    assert has_pipe_axis(mesh)
+    pv = PipelineViT(model, mesh, microbatches)
+    out = jax.jit(
+        lambda p, x: pv.apply({"params": p}, x, deterministic=True)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_grads_match_sequential():
+    cfg = Config(**SMALL)
+    model, params = _model_and_params(cfg)
+    x = _rand_images(8)
+    y = jnp.asarray(np.arange(8) % 10, jnp.int32)
+
+    def loss(apply_fn):
+        def f(p):
+            logits = apply_fn({"params": p}, x, deterministic=True)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        return f
+
+    g_ref = jax.grad(loss(model.apply))(params)
+    mesh = make_mesh((4,), ("pipe",))
+    pv = PipelineViT(model, mesh, microbatches=2)
+    g_pp = jax.jit(jax.grad(loss(pv.apply)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_train_step_matches_single_chip():
+    """Full train step (augmentation + fwd/bwd + optimizer) with the
+    pipelined model on a (2, 4) data x pipe mesh == the sequential model on
+    one device — the same equality contract as the DP/TP mesh tests."""
+    cfg = Config(**{**SMALL, "batch_size": 32, "cutmix": True})
+    n = 128
+    rng = np.random.default_rng(0)
+    x_all = jnp.asarray(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8))
+    y_all = jnp.asarray(rng.integers(0, 10, n, dtype=np.int32))
+    perm = jnp.arange(n, dtype=jnp.int32)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+
+    model, _ = get_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    state1 = init_state(cfg, model, tx, sample)
+    step1 = jax.jit(make_train_step(cfg, model, tx))
+
+    mesh = make_mesh((2, 4), ("data", "pipe"))
+    pv = PipelineViT(model, mesh, microbatches=2)
+    state8 = init_state(cfg, pv, tx, sample)
+    step8 = jax.jit(make_train_step(cfg, pv, tx, mesh=mesh))
+
+    for i in range(2):
+        state1, m1 = step1(state1, x_all, y_all, perm, i)
+        state8, m8 = step8(state8, x_all, y_all, perm, i)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_eval_matches_sequential():
+    cfg = Config(**{**SMALL, "batch_size": 32})
+    mesh = make_mesh((2, 4), ("data", "pipe"))
+    model, params = _model_and_params(cfg)
+    pv = PipelineViT(model, mesh, microbatches=2)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 255, (16, 32, 32, 3), dtype=np.uint8))
+    lab = jnp.asarray(rng.integers(0, 10, 16, dtype=np.int32))
+    mask = jnp.concatenate([jnp.ones(12), jnp.zeros(4)])
+
+    ev1 = jax.jit(make_eval_step(cfg, model))
+    ev8 = jax.jit(make_eval_step(cfg, pv, mesh=mesh))
+    o1 = ev1(params, {}, img, lab, mask)
+    o8 = ev8(params, {}, img, lab, mask)
+    assert float(o8["count"]) == 12.0
+    np.testing.assert_allclose(float(o1["loss_sum"]), float(o8["loss_sum"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(o1["correct_sum"]),
+                               float(o8["correct_sum"]), rtol=1e-6)
+
+
+def test_stack_block_params_layout():
+    cfg = Config(**SMALL)
+    _, params = _model_and_params(cfg)
+    stacked = stack_block_params(params, cfg.num_layers)
+    # every leaf gains a leading layer dim; layer i slice == enc{i} leaf
+    for i in range(cfg.num_layers):
+        sl = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        for a, b in zip(jax.tree_util.tree_leaves(sl),
+                        jax.tree_util.tree_leaves(params[f"enc{i}"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_rejects_unsupported_configs():
+    mesh = make_mesh((4,), ("pipe",))
+    # non-ViT model
+    cnn_cfg = Config(**{**SMALL, "model_name": "lgcnn", "num_layers": 4})
+    cnn, _ = get_model(cnn_cfg)
+    with pytest.raises(ValueError, match="ViT trunk"):
+        PipelineViT(cnn, mesh)
+    # dropout
+    do_cfg = Config(**{**SMALL, "dropout": 0.1})
+    do_model, _ = get_model(do_cfg)
+    with pytest.raises(ValueError, match="dropout"):
+        PipelineViT(do_model, mesh)
+    # indivisible layer count
+    odd_cfg = Config(**{**SMALL, "num_layers": 3})
+    odd, _ = get_model(odd_cfg)
+    with pytest.raises(ValueError, match="stages"):
+        PipelineViT(odd, mesh)
+    # no pipe axis
+    model, _ = get_model(Config(**SMALL))
+    with pytest.raises(ValueError, match="pipe"):
+        PipelineViT(model, make_mesh((8,), ("data",)))
+    # indivisible microbatch count surfaces at apply time
+    pv = PipelineViT(model, mesh, microbatches=3)
+    x = _rand_images(8)
+    _, params = _model_and_params(Config(**SMALL))
+    with pytest.raises(ValueError, match="microbatch"):
+        pv.apply({"params": params}, x, deterministic=True)

@@ -178,6 +178,9 @@ class Config:
     # -- TPU-native knobs (no reference equivalent) ----------------------------
     mesh_shape: tuple[int, ...] = ()  # () -> all devices on the data axis
     mesh_axes: tuple[str, ...] = ("data",)
+    # GPipe microbatches per step when the mesh has a 'pipe' axis
+    # (parallel/pipeline.py); 0 -> one microbatch per stage
+    pipeline_microbatches: int = 0
     # multi-host (DCN): jax.distributed.initialize before building the mesh —
     # the TPU-native equivalent of Lightning's multi-node trainer (SURVEY §2.9)
     multihost: bool = False
@@ -359,6 +362,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "synthetic-data", d.synthetic_data)
     p.add_argument("--mesh-shape", default="", type=str, help="comma ints, e.g. '8' or '4,2'")
     p.add_argument("--mesh-axes", default=",".join(d.mesh_axes), type=str)
+    p.add_argument("--pipeline-microbatches", default=d.pipeline_microbatches,
+                   type=int, help="GPipe microbatches when the mesh has a "
+                   "'pipe' axis; 0 = one per stage")
     _add_bool_flag(p, "multihost", d.multihost)
     p.add_argument("--no-ss-combined-epoch", action="store_false",
                    dest="ss_combined_epoch", default=True)

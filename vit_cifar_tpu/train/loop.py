@@ -192,6 +192,13 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     logger.log_text("config.json", cfg.to_json())
 
     model, can_learn_unsupervised = get_model(cfg)
+    # pipeline parallelism over a 'pipe' mesh axis (parallel/pipeline.py):
+    # the wrapper pipelines the hot apply; init/checkpoints/debug paths are
+    # the sequential module's own
+    from ..parallel.pipeline import PipelineViT, has_pipe_axis
+
+    if has_pipe_axis(mesh):
+        model = PipelineViT(model, mesh, cfg.pipeline_microbatches)
     steps_per_epoch = len(train_x) // cfg.batch_size
     # The schedule derives the epoch as count // sched_steps (train/optim.py),
     # so it must be built with the number of optimizer steps per REAL epoch.
@@ -246,8 +253,10 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         import flax.linen as fnn
 
         k = jax.random.PRNGKey(0)
+        # under pipeline parallelism, tabulate/render the inner flax module
+        graph_model = getattr(model, "inner", model)
         graph = fnn.tabulate(
-            model, {"params": k, "dropout": k, "mask": k},
+            graph_model, {"params": k, "dropout": k, "mask": k},
             depth=4, console_kwargs={"width": 160},
         )(sample, deterministic=True)
         logger.log_text("model_graph.txt", graph)
@@ -257,7 +266,7 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         )
 
         rows = module_rows(
-            model, {"params": k, "dropout": k, "mask": k}, sample,
+            graph_model, {"params": k, "dropout": k, "mask": k}, sample,
             depth=5, deterministic=True,
         )
         overview = [r for r in rows if len(r.path) <= 2]
