@@ -1,0 +1,153 @@
+"""Sequence parallelism (parallel/sequence.py): numerics pinned against the
+plain trunk, real token-dim partitioning in the compiled HLO, and loud
+failures for the mixers SP cannot cover.
+
+No reference equivalent (the reference is DP-only, SURVEY.md §2.9); the
+numerics contract here is self-parity: the SP clone must equal the
+unconstrained model bit-for-semantics (same param tree, same logits, same
+grads) — padding+masking is a layout choice, not a math change."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.models import get_model
+from vit_cifar_tpu.parallel.mesh import make_mesh, replicated_sharding
+from vit_cifar_tpu.parallel.sequence import has_seq_axis, seq_parallel_model
+
+
+def _small_cfg(**kw):
+    kw = {"batch_size": 8, **kw}
+    return Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=64,
+                  head=4, precision="32", **kw)
+
+
+def test_seq_parallel_forward_and_grads_match_plain():
+    """(2,4) data x seq mesh: same param tree, logits and grads equal the
+    unconstrained model (fp32; only summation order differs)."""
+    cfg = _small_cfg()
+    model, _ = get_model(cfg)
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    spm = seq_parallel_model(model, mesh)
+    # T=65, seq axis 4 -> 3 pad tokens, masked in attention
+    assert spm.seq_pad == 3
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 32, 32, 3)),
+                    jnp.float32)
+    params = spm.init(jax.random.PRNGKey(0), x)
+    ref = model.init(jax.random.PRNGKey(0), x)
+    assert jtu.tree_structure(params) == jtu.tree_structure(ref)
+    chex_equal = jtu.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, ref)
+    del chex_equal
+
+    with mesh:
+        out = jax.jit(lambda p, v: spm.apply(p, v))(params, x)
+    out_ref = jax.jit(lambda p, v: model.apply(p, v))(ref, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-6, atol=2e-6)
+
+    with mesh:
+        g_sp = jax.jit(jax.grad(lambda p, v: spm.apply(p, v).sum()))(params, x)
+    g_pl = jax.jit(jax.grad(lambda p, v: model.apply(p, v).sum()))(ref, x)
+    for ka, (a, b) in zip(
+        jtu.tree_leaves_with_path(g_sp),
+        zip(jtu.tree_leaves(g_sp), jtu.tree_leaves(g_pl)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=str(ka[0]))
+
+
+def test_seq_parallel_hlo_partitions_tokens():
+    """The compiled HLO must really shard the token dim (per-shard T =
+    (65+3)/4 = 17) and gather K/V for attention — otherwise the 'seq' axis
+    is decorative."""
+    cfg = _small_cfg()
+    model, _ = get_model(cfg)
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    spm = seq_parallel_model(model, mesh)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    params = spm.init(jax.random.PRNGKey(0), x)
+    with mesh:
+        txt = (jax.jit(lambda p, v: spm.apply(p, v))
+               .lower(params, x).compile().as_text())
+    assert "all-gather" in txt
+    # per-shard token stream: batch 8/2=4, tokens 68/4=17, features 32
+    assert "f32[4,17,32]" in txt
+
+
+def test_seq_parallel_train_step_matches_dp():
+    """Full train step (CutMix gate, label smoothing, adam) on a
+    (2,4) data x seq mesh equals the pure DP-8 run."""
+    from vit_cifar_tpu.train.loop import init_state
+    from vit_cifar_tpu.train.optim import make_optimizer
+    from vit_cifar_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(1)
+    n = 64
+    x_np = rng.integers(0, 255, (n, 32 * 32 * 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, n, dtype=np.int32)
+    perm_np = rng.permutation(n).astype(np.int32)
+
+    losses = {}
+    for name, shape, axes in [
+        ("dp", (8,), ("data",)),
+        ("dpsp", (2, 4), ("data", "seq")),
+    ]:
+        cfg = _small_cfg(batch_size=16, warmup_epoch=0, label_smoothing=True,
+                         synthetic_data=True, mesh_shape=shape, mesh_axes=axes)
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        model, _ = get_model(cfg)
+        if has_seq_axis(mesh):
+            model = seq_parallel_model(model, mesh)
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+        repl = replicated_sharding(mesh)
+        x_all = jax.device_put(x_np, repl)
+        y_all = jax.device_put(y_np, repl)
+        perm = jax.device_put(perm_np, repl)
+        step = jax.jit(make_train_step(cfg, model, tx, mesh=mesh))
+        for i in range(2):
+            state, m = step(state, x_all, y_all, perm, i)
+        losses[name] = float(m["loss"])
+
+    np.testing.assert_allclose(losses["dp"], losses["dpsp"], rtol=1e-5)
+
+
+def test_seq_parallel_no_pad_when_divisible():
+    """No cls token -> T=64 divides the axis: no padding, mixer untouched."""
+    cfg = _small_cfg(is_cls_token=False)
+    model, _ = get_model(cfg)
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    spm = seq_parallel_model(model, mesh)
+    assert spm.seq_pad == 0
+    # mixer not re-wrapped with a valid_len
+    assert not (isinstance(spm.mixer, functools.partial)
+                and "valid_len" in spm.mixer.keywords)
+
+
+def test_seq_parallel_rejects_uncoverable_configs():
+    """Non-attention mixers mix over tokens without a pad mask -> loud
+    failure, not silent mis-training; ditto a mesh without a seq axis."""
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    cfg = _small_cfg()
+    gmlp, _ = get_model(cfg.replace(model_name="gmlp"))
+    with pytest.raises(ValueError, match="scoped to the MultiHeadSelfAttention"):
+        seq_parallel_model(gmlp, mesh)
+
+    lgcnn, _ = get_model(cfg.replace(model_name="lgcnn"))
+    with pytest.raises(ValueError, match="no token stream"):
+        seq_parallel_model(lgcnn, mesh)
+
+    vit, _ = get_model(cfg)
+    mesh_dp = make_mesh((8,), ("data",))
+    assert not has_seq_axis(mesh_dp)
+    with pytest.raises(ValueError, match="no 'seq' axis"):
+        seq_parallel_model(vit, mesh_dp)

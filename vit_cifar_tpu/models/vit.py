@@ -48,6 +48,18 @@ class ViT(nn.Module):
     pos_emb: bool = True
     remat: bool = False
     dtype: Dtype = jnp.float32
+    # optional activation-sharding hook (h -> h), applied to the (B, T, F)
+    # token stream after embedding and after every encoder block.  Used by
+    # parallel/sequence.py to pin the token dim to a 'seq' mesh axis
+    # (sequence parallelism); None -> identity.  Purely a layout hint:
+    # the math is unchanged.
+    act_constraint: Any = None
+    # static pad count: zero tokens appended after embedding+cls+pos so the
+    # token dim divides the 'seq' mesh axis (T=65 is odd); sliced back off
+    # before pooling.  The mixer must mask them out of any cross-token
+    # reduction (MultiHeadSelfAttention.valid_len) — parallel/sequence.py
+    # sets both together and scopes SP to mixers that can.
+    seq_pad: int = 0
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -64,6 +76,11 @@ class ViT(nn.Module):
             )
             out = out + pos.astype(self.dtype)
         # else: frozen zeros (vit.py:143-144) — adding zero is a no-op
+        seq_len = out.shape[1]
+        if self.seq_pad:
+            out = jnp.pad(out, ((0, 0), (0, self.seq_pad), (0, 0)))
+        if self.act_constraint is not None:
+            out = self.act_constraint(out)
 
         for i in range(self.num_layers):
             block = EncoderBlock(
@@ -84,7 +101,11 @@ class ViT(nn.Module):
                 out = fn(block, out)
             else:
                 out = block(out, deterministic=deterministic)
+            if self.act_constraint is not None:
+                out = self.act_constraint(out)
 
+        if self.seq_pad:
+            out = out[:, :seq_len]
         out = out[:, 0] if self.is_cls_token else out.mean(axis=1)
         out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="fc_norm")(out)
         return TorchLinear(self.num_classes, dtype=self.dtype, name="fc")(out)

@@ -35,6 +35,11 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     save_attn_map: bool = False
     use_pallas: bool = False
+    # static: when set and < T, keys/values beyond this index are padding
+    # (sequence-parallel zero-padding, parallel/sequence.py) and are masked
+    # out of the softmax so real tokens never attend to them.  Pad QUERIES
+    # produce garbage rows that the trunk slices off before pooling.
+    valid_len: int | None = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -51,13 +56,21 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(B, T, self.head, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, self.head, head_dim).transpose(0, 2, 1, 3)
 
-        if self.use_pallas and not self.save_attn_map:
+        masked = self.valid_len is not None and self.valid_len < T
+        if self.use_pallas and not self.save_attn_map and not masked:
             from .pallas.attention import fused_attention
 
             out = fused_attention(q, k, v, 1.0 / float(self.features**0.5))
         else:
             # (B,H,T,T) logits; full-dim scale per layers.py:97
             logits = jnp.einsum("bhif,bhjf->bhij", q, k) / sqrt_d
+            if masked:
+                key_ok = jnp.arange(T) < self.valid_len
+                logits = jnp.where(
+                    key_ok[None, None, None, :],
+                    logits,
+                    jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype),
+                )
             attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
             if self.save_attn_map:
                 self.sow("intermediates", "attn_map", attn)

@@ -196,7 +196,21 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
     # the wrapper pipelines the hot apply; init/checkpoints/debug paths are
     # the sequential module's own
     from ..parallel.pipeline import PipelineViT, has_pipe_axis
+    from ..parallel.sequence import has_seq_axis, seq_parallel_model
 
+    # sequence parallelism over a 'seq' mesh axis (parallel/sequence.py):
+    # token stream padded+pinned to the axis, attention masks the pad.
+    # Applied before the pipe wrap; the two partition the same loop
+    # dimension (the encoder stack's token stream vs its depth) and SP's
+    # clone only understands the plain trunk, so combining them is an error.
+    if has_seq_axis(mesh):
+        if has_pipe_axis(mesh):
+            raise ValueError(
+                "mesh has both 'seq' and 'pipe' axes > 1; sequence and "
+                "pipeline parallelism do not compose — pick one (plus "
+                "data/model axes)."
+            )
+        model = seq_parallel_model(model, mesh)
     if has_pipe_axis(mesh):
         model = PipelineViT(model, mesh, cfg.pipeline_microbatches)
     steps_per_epoch = len(train_x) // cfg.batch_size
