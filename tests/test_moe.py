@@ -1,0 +1,174 @@
+"""Mixture-of-Experts encoder MLP (ops/moe.py) + expert parallelism.
+
+No reference equivalent (the reference's encoder MLP is dense,
+layers.py:32-39); the contracts here are self-consistency: an E=1 MoE is
+bit-equivalent to the dense EncoderMLP, dp x ep meshes match single-device
+numerics, capacity overflow drops tokens to zero (residual pass-through),
+and the 'expert' axis really shards the expert stacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.models import get_model
+from vit_cifar_tpu.ops.common import EncoderMLP
+from vit_cifar_tpu.ops.moe import MoEMLP
+from vit_cifar_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_params
+
+
+def _x(b=4, t=65, f=32, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(b, t, f), jnp.float32)
+
+
+def test_moe_e1_equals_dense_mlp():
+    """One expert, capacity >= T: routing is the identity permutation and the
+    expert FFN must reproduce EncoderMLP (incl. the trailing-GELU quirk,
+    reference layers.py:32-39) bit-for-bit."""
+    x = _x()
+    moe = MoEMLP(features=32, mlp_hidden=48, num_experts=1, capacity_factor=1.0)
+    dense = EncoderMLP(mlp_hidden=48, features=32)
+    p_moe = moe.init(jax.random.PRNGKey(0), x)["params"]
+    p_dense = dense.init(jax.random.PRNGKey(1), x)
+    p_moe = dict(p_moe)
+    p_moe["expert_w1"] = p_dense["params"]["fc1"]["kernel"][None]
+    p_moe["expert_b1"] = p_dense["params"]["fc1"]["bias"][None]
+    p_moe["expert_w2"] = p_dense["params"]["fc2"]["kernel"][None]
+    p_moe["expert_b2"] = p_dense["params"]["fc2"]["bias"][None]
+    out, inter = moe.apply({"params": p_moe}, x, mutable=["intermediates"])
+    ref = dense.apply(p_dense, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # Switch aux at E=1 is exactly 1.0 (perfect balance by definition)
+    aux = inter["intermediates"]["moe_aux"][0]
+    assert float(aux) == 1.0
+
+
+def test_moe_capacity_overflow_drops_to_zero():
+    """capacity_factor -> C=1 with one expert: only the first token gets a
+    slot; every later token's MoE output is exactly zero (it passes through
+    the encoder block's residual unchanged)."""
+    x = _x(b=2, t=8, f=16)
+    moe = MoEMLP(features=16, mlp_hidden=8, num_experts=1,
+                 capacity_factor=1.0 / 8)
+    p = moe.init(jax.random.PRNGKey(0), x)
+    out = moe.apply(p, x)
+    assert not np.allclose(np.asarray(out[:, 0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out[:, 1:]), 0.0)
+
+
+def test_moe_routes_to_multiple_experts():
+    """E=4 on random inputs: the argmax router uses more than one expert and
+    the sown aux loss is a finite positive scalar."""
+    x = _x(b=4, t=65, f=32, seed=3)
+    moe = MoEMLP(features=32, mlp_hidden=48, num_experts=4)
+    p = moe.init(jax.random.PRNGKey(2), x)
+    out, inter = moe.apply(p, x, mutable=["intermediates"])
+    assert bool(jnp.isfinite(out).all())
+    aux = float(inter["intermediates"]["moe_aux"][0])
+    assert np.isfinite(aux) and aux > 0
+    # recompute routing to count used experts
+    logits = jnp.einsum(
+        "btf,fe->bte", x, p["params"]["router"]["kernel"]
+    ) + p["params"]["router"]["bias"]
+    used = np.unique(np.asarray(logits.argmax(-1)))
+    assert len(used) > 1
+
+
+def test_moe_train_step_dp_ep_matches_single_device():
+    """Full train step (CutMix gate, label smoothing, aux loss, adam) of a
+    4-expert ViT on a (2,4) data x expert mesh == single device."""
+    from vit_cifar_tpu.train.loop import init_state
+    from vit_cifar_tpu.train.optim import make_optimizer
+    from vit_cifar_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(0)
+    n = 64
+    x_np = rng.integers(0, 255, (n, 32 * 32 * 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, n, dtype=np.int32)
+    perm_np = rng.permutation(n).astype(np.int32)
+
+    losses = {}
+    for name, shape, axes in [
+        ("single", (1,), ("data",)),
+        ("dpep", (2, 4), ("data", "expert")),
+    ]:
+        cfg = Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=64,
+                     head=4, batch_size=16, precision="32", warmup_epoch=0,
+                     label_smoothing=True, synthetic_data=True, moe_experts=4,
+                     mesh_shape=shape, mesh_axes=axes)
+        ndev = int(np.prod(shape))
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes,
+                         devices=jax.devices()[:ndev])
+        model, _ = get_model(cfg)
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+        if name == "dpep":
+            state = state.replace(params=shard_params(mesh, state.params))
+            for leaf in ("expert_w1", "expert_b1", "expert_w2", "expert_b2"):
+                spec = state.params["enc0"]["mlp"][leaf].sharding.spec
+                assert spec[0] == "expert", (leaf, spec)
+            router = state.params["enc0"]["mlp"]["router"]["kernel"]
+            assert all(s is None for s in router.sharding.spec)
+        repl = replicated_sharding(mesh)
+        x_all = jax.device_put(x_np, repl)
+        y_all = jax.device_put(y_np, repl)
+        perm = jax.device_put(perm_np, repl)
+        step = jax.jit(make_train_step(cfg, model, tx, mesh=mesh))
+        for i in range(2):
+            state, m = step(state, x_all, y_all, perm, i)
+        losses[name] = float(m["loss"])
+
+    np.testing.assert_allclose(losses["single"], losses["dpep"], rtol=1e-5)
+
+
+def test_moe_aux_loss_reaches_training_loss():
+    """The sown Switch balance term really lands in the optimized loss:
+    identical configs differing only in moe_aux_weight produce different
+    step losses, offset by weight * aux."""
+    from vit_cifar_tpu.train.loop import init_state
+    from vit_cifar_tpu.train.optim import make_optimizer
+    from vit_cifar_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(1)
+    n = 32
+    x_np = rng.integers(0, 255, (n, 32 * 32 * 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, n, dtype=np.int32)
+    perm_np = rng.permutation(n).astype(np.int32)
+
+    losses = {}
+    for w in (0.0, 1.0):
+        cfg = Config(model_name="vit", num_layers=1, hidden=32, mlp_hidden=32,
+                     head=4, batch_size=16, precision="32", warmup_epoch=0,
+                     synthetic_data=True, moe_experts=4, moe_aux_weight=w)
+        model, _ = get_model(cfg)
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+        step = jax.jit(make_train_step(cfg, model, tx))
+        _, m = step(state, jnp.asarray(x_np), jnp.asarray(y_np),
+                    jnp.asarray(perm_np), 0)
+        losses[w] = float(m["loss"])
+    # aux ~ 1.0-1.3 for a fresh router; the weighted run must sit above by it
+    assert 0.9 < losses[1.0] - losses[0.0] < 4.0
+
+
+def test_moe_config_guards():
+    """Loud failures: MoE on a CNN, MoE without an encoder MLP, an 'expert'
+    mesh axis on a dense model."""
+    with pytest.raises(ValueError, match="no encoder MLP"):
+        get_model(Config(model_name="lgcnn", moe_experts=4))
+    with pytest.raises(ValueError, match="requires the encoder MLP"):
+        get_model(Config(model_name="vit", moe_experts=4,
+                         use_encoder_mlp=False))
+
+    from vit_cifar_tpu.train.loop import init_state
+    from vit_cifar_tpu.train.optim import make_optimizer
+
+    cfg = Config(model_name="vit", num_layers=1, hidden=32, mlp_hidden=32,
+                 head=4, precision="32")
+    model, _ = get_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 4),
+                       jnp.zeros((2, 32, 32, 3), jnp.float32))
+    mesh = make_mesh((2, 4), ("data", "expert"))
+    with pytest.raises(ValueError, match="no MoE expert stacks"):
+        shard_params(mesh, state.params)

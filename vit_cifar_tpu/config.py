@@ -181,6 +181,13 @@ class Config:
     # GPipe microbatches per step when the mesh has a 'pipe' axis
     # (parallel/pipeline.py); 0 -> one microbatch per stage
     pipeline_microbatches: int = 0
+    # Mixture-of-Experts encoder MLP (ops/moe.py): 0 -> the reference's dense
+    # MLP; >0 replaces it with that many Switch-routed experts.  Shardable
+    # over an 'expert' mesh axis (expert parallelism).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    # weight on the Switch load-balance aux loss (mean over layers)
+    moe_aux_weight: float = 0.01
     # multi-host (DCN): jax.distributed.initialize before building the mesh —
     # the TPU-native equivalent of Lightning's multi-node trainer (SURVEY §2.9)
     multihost: bool = False
@@ -365,6 +372,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-microbatches", default=d.pipeline_microbatches,
                    type=int, help="GPipe microbatches when the mesh has a "
                    "'pipe' axis; 0 = one per stage")
+    p.add_argument("--moe-experts", default=d.moe_experts, type=int,
+                   help="replace the encoder MLP with this many Switch-"
+                   "routed experts (0 = dense reference MLP)")
+    p.add_argument("--moe-capacity-factor", default=d.moe_capacity_factor,
+                   type=float)
+    p.add_argument("--moe-aux-weight", default=d.moe_aux_weight, type=float)
     _add_bool_flag(p, "multihost", d.multihost)
     p.add_argument("--no-ss-combined-epoch", action="store_false",
                    dest="ss_combined_epoch", default=True)

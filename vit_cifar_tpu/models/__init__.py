@@ -81,13 +81,19 @@ def _make_mixer(cfg: Config, dtype):
         )
     if name == "hamburger":
         # the reference wrapper passes only version/in_c/depthwise
-        # (layers.py:243-258); MD steps stay at the burger defaults (6/7)
+        # (layers.py:243-258); MD steps stay at the burger defaults (6/7).
+        # --train-md-bases additionally enables the persistent EMA bases
+        # (RAND_INIT=False) exactly as GatedNNMFViT plumbs train_bases
+        # (vit.py:376-380) — the reference's hamburger CLI can't reach that
+        # knob, but the underlying module supports it (ham.py:29,75-83) and
+        # deterministic bases are what makes trajectory parity testable.
         return functools.partial(
             Hamburger,
             seq_len=cfg.seq_len,
             features=h,
             burger_mode=cfg.burger_mode,
             depthwise=cfg.depthwise,
+            rand_init=not cfg.train_md_bases,
             dtype=dtype,
         )
     if name == "hamburger_attention":
@@ -97,6 +103,7 @@ def _make_mixer(cfg: Config, dtype):
             features=h,
             burger_mode=cfg.burger_mode,
             depthwise=cfg.depthwise,
+            rand_init=not cfg.train_md_bases,
             dropout=cfg.dropout,
             query=cfg.query,
             dtype=dtype,
@@ -183,6 +190,16 @@ def get_model(cfg: Config):
     dtype = cfg.compute_dtype
     name = cfg.model_name
 
+    if cfg.moe_experts > 0 and name in ("cnn_baseline", "lgcnn", "wlgcnn"):
+        raise ValueError(
+            "--moe-experts replaces the ViT-trunk encoder MLP (ops/moe.py); "
+            f"CNN model {name!r} has no encoder MLP to replace."
+        )
+    if cfg.moe_experts > 0 and not cfg.use_encoder_mlp:
+        raise ValueError(
+            "--moe-experts requires the encoder MLP; it is disabled "
+            "(use_encoder_mlp=False)."
+        )
     if name == "cnn_baseline":
         # working equivalent of the broken reference BaselineCNN (cnn.py:6-29)
         return BaselineCNN(num_classes=cfg.num_classes, dtype=dtype), False
@@ -206,8 +223,24 @@ def get_model(cfg: Config):
         return model, False
 
     mixer = _make_mixer(cfg, dtype)
+    # MoE encoder MLP (beyond reference; ops/moe.py): swap the dense MLP for
+    # Switch-routed experts, shardable over an 'expert' mesh axis
+    mlp_factory = None
+    if cfg.moe_experts > 0:
+        from ..ops.moe import MoEMLP
+
+        mlp_factory = functools.partial(
+            MoEMLP,
+            features=cfg.hidden,
+            mlp_hidden=cfg.mlp_hidden,
+            num_experts=cfg.moe_experts,
+            capacity_factor=cfg.moe_capacity_factor,
+            dropout=cfg.dropout,
+            dtype=dtype,
+        )
     model = ViT(
         mixer=mixer,
+        mlp_factory=mlp_factory,
         num_classes=cfg.num_classes,
         img_size=cfg.img_size,
         patch=cfg.patch,

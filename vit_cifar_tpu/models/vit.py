@@ -60,6 +60,10 @@ class ViT(nn.Module):
     # reduction (MultiHeadSelfAttention.valid_len) — parallel/sequence.py
     # sets both together and scopes SP to mixers that can.
     seq_pad: int = 0
+    # optional channel-MLP factory forwarded to every EncoderBlock (e.g. the
+    # MoE MLP with expert parallelism, ops/moe.MoEMLP); None -> the
+    # reference's dense EncoderMLP.
+    mlp_factory: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -90,6 +94,7 @@ class ViT(nn.Module):
                 use_mlp=self.use_encoder_mlp,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                mlp_factory=self.mlp_factory,
                 name=f"enc{i}",
             )
             if self.remat:

@@ -16,6 +16,7 @@ surrounding matmuls, so no custom kernel is needed here.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -60,6 +61,9 @@ class EncoderBlock(nn.Module):
     use_mlp: bool = True
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    # optional channel-MLP factory injected like the mixer (e.g. the MoE MLP,
+    # ops/moe.MoEMLP); None -> the reference's dense EncoderMLP.
+    mlp_factory: Optional[Callable[..., nn.Module]] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -68,12 +72,13 @@ class EncoderBlock(nn.Module):
         x = x + h
         if self.use_mlp:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="la2")(x)
-            h = EncoderMLP(
+            make_mlp = self.mlp_factory or functools.partial(
+                EncoderMLP,
                 mlp_hidden=self.mlp_hidden,
                 features=self.features,
                 dropout=self.dropout,
                 dtype=self.dtype,
-                name="mlp",
-            )(h, deterministic=deterministic)
+            )
+            h = make_mlp(name="mlp")(h, deterministic=deterministic)
             x = x + h
         return x

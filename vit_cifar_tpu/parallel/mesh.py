@@ -121,6 +121,21 @@ def has_model_axis(mesh: Mesh) -> bool:
     return "model" in mesh.axis_names and mesh.shape["model"] > 1
 
 
+def has_expert_axis(mesh: Mesh) -> bool:
+    return "expert" in mesh.axis_names and mesh.shape["expert"] > 1
+
+
+def _ep_spec(path_names: list[str], ndim: int) -> P:
+    """Expert-parallel layout: MoE expert stacks (ops/moe.MoEMLP params
+    ``expert_w1/b1/w2/b2``, leading dim = num_experts) are sharded over the
+    ``expert`` axis; everything else — including the router — is replicated.
+    GSPMD then partitions the dispatch/combine einsums so each chip computes
+    only its experts' FFNs."""
+    if path_names[-1].startswith("expert_"):
+        return P("expert", *([None] * (ndim - 1)))
+    return P()
+
+
 def _tp_spec(path_names: list[str], ndim: int) -> P:
     """Megatron-style layout for the transformer-trunk Linears.
 
@@ -159,12 +174,17 @@ def shard_params(mesh: Mesh, params):
     """
 
     tp = has_model_axis(mesh)
-    n_sharded = 0
+    ep = has_expert_axis(mesh)
+    n_sharded = n_ep = 0
 
     def put(path, p):
-        nonlocal n_sharded
+        nonlocal n_sharded, n_ep
         names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
         spec = _tp_spec(names, p.ndim) if tp else P()
+        if ep and spec == P():
+            spec = _ep_spec(names, p.ndim)
+            if spec != P():
+                n_ep += 1
         if spec != P():
             n_sharded += 1
         return jax.device_put(p, NamedSharding(mesh, spec))
@@ -177,5 +197,12 @@ def shard_params(mesh: Mesh, params):
             "(parallel/mesh._tp_spec covers ViT/AFT/Hamburger attention, the "
             "MLP block, and gMLP/GatedNNMF U/V). Silently replicating would "
             "waste the model-axis chips — run this model on a data-only mesh."
+        )
+    if ep and n_ep == 0:
+        raise ValueError(
+            "expert parallelism requested (mesh 'expert' axis > 1) but the "
+            "model has no MoE expert stacks (--moe-experts > 0 builds them, "
+            "ops/moe.MoEMLP). Silently replicating would waste the "
+            "expert-axis chips — run this model on a data-only mesh."
         )
     return out

@@ -226,17 +226,18 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
 
     sample = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.in_c), cfg.compute_dtype)
     state = init_state(cfg, model, tx, sample)
-    # tensor-parallel weight layout over a "model" mesh axis (no reference
-    # equivalent; see parallel/mesh.shard_params) — opt-state/grad layouts
-    # follow through GSPMD propagation
-    from ..parallel.mesh import has_model_axis, shard_params
+    # tensor-parallel ("model" axis) / expert-parallel ("expert" axis) weight
+    # layout (no reference equivalent; see parallel/mesh.shard_params) —
+    # opt-state/grad layouts follow through GSPMD propagation
+    from ..parallel.mesh import has_expert_axis, has_model_axis, shard_params
 
-    if has_model_axis(mesh):
+    needs_param_layout = has_model_axis(mesh) or has_expert_axis(mesh)
+    if needs_param_layout:
         state = state.replace(params=shard_params(mesh, state.params))
     start_epoch = 0
     if cfg.resume:
         state, start_epoch = _restore_state(cfg, state)
-        if has_model_axis(mesh):
+        if needs_param_layout:
             # the restore replaced params with host arrays — re-apply the
             # tensor-parallel layout or the first jit would see one
             # default-sharded input among NamedSharding inputs (a ~60x slower

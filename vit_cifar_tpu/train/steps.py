@@ -54,6 +54,23 @@ def _collect_ae_terms(intermediates) -> list:
     return terms
 
 
+def _collect_moe_aux(intermediates):
+    """Mean of all sown Switch load-balance losses (ops/moe.MoEMLP sows one
+    ``moe_aux`` scalar per MoE layer)."""
+    vals = []
+
+    def visit(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "moe_aux":
+                    vals.append(jnp.asarray(v).mean())
+                else:
+                    visit(v)
+
+    visit(intermediates)
+    return sum(vals) / len(vals) if vals else jnp.asarray(0.0)
+
+
 def _make_batch_grads(
     cfg: Config,
     model,
@@ -75,7 +92,9 @@ def _make_batch_grads(
     given pre-permuted inputs) — exists to A/B the per-step gather component
     of the fixed step cost (tools/ab_gather.py)."""
     criterion = make_criterion(cfg)
-    needs_intermediates = cfg.criterion == "aece" or cfg.model_name.startswith("ae")
+    needs_ae = cfg.criterion == "aece" or cfg.model_name.startswith("ae")
+    needs_moe_aux = cfg.moe_experts > 0 and cfg.moe_aux_weight > 0
+    needs_intermediates = needs_ae or needs_moe_aux
     B = cfg.batch_size
 
     def _shard_data(x):
@@ -164,7 +183,7 @@ def _make_batch_grads(
                 )
                 updates = {}
             aux = {}
-            if needs_intermediates and "intermediates" in updates:
+            if needs_ae and "intermediates" in updates:
                 aux["ae"] = _collect_ae_terms(updates["intermediates"])
             if rand_label is not None:
                 loss = criterion(logits, label, aux) * lam + criterion(
@@ -172,6 +191,12 @@ def _make_batch_grads(
                 ) * (1.0 - lam)
             else:
                 loss = criterion(logits, label, aux)
+            if needs_moe_aux and "intermediates" in updates:
+                # Switch load-balance term, once per step (not lam-weighted:
+                # routing balance is label-independent)
+                loss = loss + cfg.moe_aux_weight * _collect_moe_aux(
+                    updates["intermediates"]
+                )
             new_model_state = {
                 k: v for k, v in updates.items() if k != "intermediates"
             }
