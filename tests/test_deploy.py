@@ -1,0 +1,92 @@
+"""Serving export (deploy.py): checkpoint -> self-contained jax.export
+artifact with the exact eval preprocessing baked in.
+
+No reference equivalent (run_model.py re-runs the training stack; SURVEY §2.8)
+— the contract is self-parity: served logits must equal the in-framework
+eval forward, from a deserialized artifact, at ANY batch size (symbolic
+batch dim)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cifar_tpu.config import Config
+from vit_cifar_tpu.data.augment import normalize
+from vit_cifar_tpu.deploy import export_inference, load_inference
+from vit_cifar_tpu.models import get_model
+from vit_cifar_tpu.train.checkpoint import save_checkpoint
+from vit_cifar_tpu.train.loop import init_state
+from vit_cifar_tpu.train.optim import make_optimizer
+
+
+def _make_ckpt(tmp_path, **cfg_kw):
+    cfg = Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=32,
+                 head=4, patch=8, precision="32", synthetic_data=True,
+                 **cfg_kw)
+    model, _ = get_model(cfg)
+    state = init_state(cfg, model, make_optimizer(cfg, 4),
+                       jnp.zeros((2, 32, 32, 3), jnp.float32))
+    ckpt = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(ckpt, {"params": jax.device_get(state.params),
+                           "model_state": jax.device_get(state.model_state)},
+                    cfg)
+    return cfg, model, state, ckpt
+
+
+def test_export_serves_eval_logits_at_any_batch_size(tmp_path):
+    cfg, model, state, ckpt = _make_ckpt(tmp_path)
+    out = export_inference(ckpt, os.path.join(tmp_path, "art"))
+
+    served = load_inference(out)
+    rng = np.random.default_rng(0)
+    for B in (3, 8):  # symbolic batch: one artifact, several sizes
+        imgs = rng.integers(0, 256, (B, 32, 32, 3), dtype=np.uint8)
+        got = served.predict(imgs)
+        x = normalize(jnp.asarray(imgs), cfg.mean, cfg.std).astype(
+            cfg.compute_dtype)
+        want = model.apply({"params": state.params, **state.model_state},
+                           x, deterministic=True)
+        np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+        assert got.shape == (B, 10) and got.dtype == np.float32
+
+    meta = served.meta
+    assert meta["model_name"] == "vit"
+    assert meta["input"] == "uint8[b,32,32,3]"
+    assert meta["output"] == "float32[b,10]"
+    assert meta["bytes"] == os.path.getsize(
+        os.path.join(out, "serving.jaxexport"))
+
+
+def test_export_artifact_is_standalone(tmp_path):
+    """The serving process needs only jax + the two files: deserialization
+    must not read the checkpoint or rebuild the model."""
+    _, _, _, ckpt = _make_ckpt(tmp_path)
+    out = export_inference(ckpt, os.path.join(tmp_path, "art"))
+    # remove the checkpoint entirely; the artifact must still serve
+    import shutil
+
+    shutil.rmtree(ckpt)
+    served = load_inference(out)
+    logits = served.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    assert np.isfinite(logits).all()
+    with open(os.path.join(out, "serving.json")) as f:
+        assert json.load(f)["platforms"]
+
+
+def test_export_covers_moe_model(tmp_path):
+    """The Switch-MoE dispatch einsums must trace under a symbolic batch."""
+    cfg, model, state, ckpt = _make_ckpt(tmp_path, moe_experts=4)
+    out = export_inference(ckpt, os.path.join(tmp_path, "art"))
+    served = load_inference(out)
+    imgs = np.random.default_rng(1).integers(
+        0, 256, (5, 32, 32, 3), dtype=np.uint8)
+    got = served.predict(imgs)
+    x = normalize(jnp.asarray(imgs), cfg.mean, cfg.std).astype(cfg.compute_dtype)
+    want = model.apply({"params": state.params, **state.model_state},
+                       x, deterministic=True)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               rtol=1e-6, atol=1e-6)

@@ -1,0 +1,134 @@
+"""Serving/deployment: checkpoint -> self-contained compiled artifact.
+
+The reference's closest capability is ``run_model.py`` (re-instantiate the
+training stack, ``torch.load``, forward) — serving there means shipping the
+whole torch codebase.  The TPU-native equivalent is ahead-of-time export:
+``jax.export`` lowers the jitted inference function (uint8 preprocessing +
+deterministic forward, weights baked in as StableHLO constants) into one
+portable, versioned artifact that a serving process can deserialize and call
+WITHOUT this package, the model code, or the checkpoint — only jax.
+
+Design:
+  * the exported fn is exactly the eval path (train/steps.make_eval_step's
+    normalize -> cast -> ``deterministic=True`` apply), so served logits are
+    bit-consistent with validation;
+  * the batch dim is exported SYMBOLIC (jax.export symbolic shapes), so one
+    artifact serves any batch size with no recompilation at trace level —
+    XLA specializes per concrete size at first call, as usual;
+  * cross-platform: pass ``platforms=("tpu", "cpu")`` to lower for TPU from
+    any host (jax.export multi-platform lowering); default is the current
+    backend.
+
+CLI: ``python -m vit_cifar_tpu.deploy <ckpt_dir> <out_dir> [--platforms
+tpu,cpu] [--which best|last]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from .config import Config
+from .data.augment import normalize
+from .models import get_model
+from .train.checkpoint import load_checkpoint
+
+_ARTIFACT = "serving.jaxexport"
+_META = "serving.json"
+
+
+def _inference_fn(cfg: Config, model, params, model_state):
+    variables = {"params": params, **(model_state or {})}
+
+    def infer(img_u8):
+        # (B, H, W, C) uint8 -> logits (B, num_classes) float32.
+        # Same preprocessing as eval (train/steps.py:make_eval_step).
+        x = normalize(img_u8, cfg.mean, cfg.std).astype(cfg.compute_dtype)
+        logits = model.apply(variables, x, deterministic=True)
+        return logits.astype(jnp.float32)
+
+    return infer
+
+
+def export_inference(
+    ckpt_dir: str,
+    out_dir: str,
+    platforms: tuple[str, ...] | None = None,
+    which: str = "best",
+) -> str:
+    """Export a trained checkpoint as a serving artifact; returns the path."""
+    payload, cfg = load_checkpoint(ckpt_dir, prefer=which)
+    model, _ = get_model(cfg)
+    infer = _inference_fn(
+        cfg, model, payload["params"], payload.get("model_state", {})
+    )
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct(
+        (b, cfg.img_size, cfg.img_size, cfg.in_c), jnp.uint8
+    )
+    exp = jax_export.export(jax.jit(infer), platforms=platforms)(spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exp.serialize()
+    with open(os.path.join(out_dir, _ARTIFACT), "wb") as f:
+        f.write(blob)
+    meta = {
+        "model_name": cfg.model_name,
+        "num_classes": cfg.num_classes,
+        "input": f"uint8[b,{cfg.img_size},{cfg.img_size},{cfg.in_c}]",
+        "output": f"float32[b,{cfg.num_classes}]",
+        "platforms": list(exp.platforms),
+        "calling_convention_version": exp.calling_convention_version,
+        "bytes": len(blob),
+        "source_checkpoint": os.path.abspath(ckpt_dir),
+        "config": json.loads(cfg.to_json()),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+class ServingModel:
+    """Deserialized artifact; ``predict`` serves any batch size."""
+
+    def __init__(self, out_dir: str):
+        with open(os.path.join(out_dir, _ARTIFACT), "rb") as f:
+            self.exported = jax_export.deserialize(f.read())
+        with open(os.path.join(out_dir, _META)) as f:
+            self.meta = json.load(f)
+        self._call = jax.jit(self.exported.call)
+
+    def predict(self, imgs_u8) -> np.ndarray:
+        """(B, H, W, C) uint8 -> (B, num_classes) float32 logits."""
+        return np.asarray(self._call(jnp.asarray(imgs_u8, jnp.uint8)))
+
+
+def load_inference(out_dir: str) -> ServingModel:
+    return ServingModel(out_dir)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("ckpt_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--platforms", default="",
+                   help="comma list, e.g. 'tpu,cpu'; default current backend")
+    p.add_argument("--which", default="best", choices=["best", "last"])
+    a = p.parse_args(argv)
+    platforms = tuple(x for x in a.platforms.split(",") if x) or None
+    out = export_inference(a.ckpt_dir, a.out_dir, platforms=platforms,
+                           which=a.which)
+    with open(os.path.join(out, _META)) as f:
+        print(f.read())
+
+
+if __name__ == "__main__":
+    main()
