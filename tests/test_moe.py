@@ -172,3 +172,51 @@ def test_moe_config_guards():
     mesh = make_mesh((2, 4), ("data", "expert"))
     with pytest.raises(ValueError, match="no MoE expert stacks"):
         shard_params(mesh, state.params)
+
+
+def test_moe_three_axis_mesh_matches_single_device():
+    """Axis composition: a (2,2,2) data x model x expert mesh — Megatron TP
+    on the attention/router-side Linears AND expert-sharded FFN stacks in
+    the same model — equals the single-device train step."""
+    from vit_cifar_tpu.train.loop import init_state
+    from vit_cifar_tpu.train.optim import make_optimizer
+    from vit_cifar_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(2)
+    n = 32
+    x_np = rng.integers(0, 255, (n, 32 * 32 * 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, n, dtype=np.int32)
+    perm_np = rng.permutation(n).astype(np.int32)
+
+    losses = {}
+    for name, shape, axes in [
+        ("single", (1,), ("data",)),
+        ("3d", (2, 2, 2), ("data", "model", "expert")),
+    ]:
+        cfg = Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=64,
+                     head=4, batch_size=16, precision="32", warmup_epoch=0,
+                     label_smoothing=True, synthetic_data=True, moe_experts=4,
+                     mesh_shape=shape, mesh_axes=axes)
+        ndev = int(np.prod(shape))
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes,
+                         devices=jax.devices()[:ndev])
+        model, _ = get_model(cfg)
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+        if name == "3d":
+            state = state.replace(params=shard_params(mesh, state.params))
+            # TP took the attention Linears, EP the expert stacks
+            wq = state.params["enc0"]["mixer"]["Wq"]["kernel"]
+            assert "model" in wq.sharding.spec
+            w1 = state.params["enc0"]["mlp"]["expert_w1"]
+            assert w1.sharding.spec[0] == "expert"
+        repl = replicated_sharding(mesh)
+        x_all = jax.device_put(x_np, repl)
+        y_all = jax.device_put(y_np, repl)
+        perm = jax.device_put(perm_np, repl)
+        step = jax.jit(make_train_step(cfg, model, tx, mesh=mesh))
+        for i in range(2):
+            state, m = step(state, x_all, y_all, perm, i)
+        losses[name] = float(m["loss"])
+
+    np.testing.assert_allclose(losses["single"], losses["3d"], rtol=1e-5)
