@@ -148,6 +148,8 @@ def test_moe_aux_loss_reaches_training_loss():
         _, m = step(state, jnp.asarray(x_np), jnp.asarray(y_np),
                     jnp.asarray(perm_np), 0)
         losses[w] = float(m["loss"])
+        if w > 0:  # the balance observable is logged as a step metric
+            assert 0.9 < float(m["moe_aux"]) < 4.0
     # aux ~ 1.0-1.3 for a fresh router; the weighted run must sit above by it
     assert 0.9 < losses[1.0] - losses[0.0] < 4.0
 

@@ -529,3 +529,23 @@ def test_train_step_runs_for_every_dataset(dataset):
     sums = ev(state.params, state.model_state, x_all[:16], y_all[:16],
               jnp.ones(16, jnp.float32))
     assert np.isfinite(float(sums["loss_sum"]))
+
+
+def test_moe_fit_logs_router_balance_metric(tmp_path):
+    """A MoE fit must log the epoch-mean Switch balance loss (moe_aux ~ 1.0
+    for a balanced router) into metrics.csv alongside loss/acc."""
+    import csv
+
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**SMALL).replace(
+        moe_experts=4, dry_run=True, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "models"))
+    res = train(cfg, verbose=False)
+    assert np.isfinite(res["val_loss"])
+    csvs = list((tmp_path / "logs").glob("*/metrics.csv"))
+    assert len(csvs) == 1
+    with open(csvs[0]) as f:
+        rows = list(csv.DictReader(f))
+    vals = [float(r["moe_aux"]) for r in rows if r.get("moe_aux")]
+    assert vals and all(0.9 < v < 4.0 for v in vals)

@@ -572,6 +572,9 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         if "skipped_nonfinite" in metrics:
             # mean skip rate over the epoch (0 in healthy runs)
             row["skipped_nonfinite"] = float(metrics["skipped_nonfinite"])
+        if "moe_aux" in metrics:
+            # epoch-mean Switch balance loss (1.0 = perfectly balanced router)
+            row["moe_aux"] = float(metrics["moe_aux"])
         history.append(row)
         logger.log(int(jax.device_get(state.step)), epoch, **row)
         logger.flush()

@@ -377,6 +377,9 @@ def make_train_step(
             metrics["skipped_nonfinite"] = skipped
         if unsupervised:
             metrics["unsupervised_loss"] = unsup_loss
+        if cfg.moe_experts > 0 and cfg.moe_aux_weight > 0:
+            # router balance observable: 1.0 = perfectly balanced experts
+            metrics["moe_aux"] = _collect_moe_aux(intermediates)
 
         # epoch-mean accumulation inside the step (see TrainState.metrics_acc)
         new_metrics_acc = state.metrics_acc
@@ -429,6 +432,8 @@ def make_metrics_zeros(cfg: Config):
         z["skipped_nonfinite"] = jnp.zeros((), jnp.float32)
     if uses_unsupervised(cfg):
         z["unsupervised_loss"] = jnp.zeros((), jnp.float32)
+    if cfg.moe_experts > 0 and cfg.moe_aux_weight > 0:
+        z["moe_aux"] = jnp.zeros((), jnp.float32)
     return z
 
 
