@@ -21,7 +21,9 @@ with read-synced windows and a grid-(B,H) masked-block variant
 3-5x slower than XLA's fused core — each (b,h) program is two ~(80,128)
 matmuls, too little work to hide Mosaic per-program overhead.  The kernel
 becomes the right tool when head_dim >= 128 (no padding waste) or when T
-grows enough that keeping the (H,T,T) attention tensor out of HBM dominates.
+grows enough that keeping the (H,T,T) attention tensor out of HBM dominates
+— measured (tools/ab_pallas_shape.py, round 4): 1.61x over XLA at
+(512,8,256,128), 1.94x at (128,8,512,128), 2.13x at (64,4,1024,128).
 """
 
 from __future__ import annotations
