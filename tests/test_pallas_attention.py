@@ -47,3 +47,27 @@ def test_mhsa_module_pallas_path():
     out_r = m_ref.apply(variables, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_einsum():
+    """KV-tiled online-softmax kernel: exact vs the einsum core across
+    uneven tile splits, padding (odd T, D < 128), and an over-large
+    block_kv (single tile)."""
+    from vit_cifar_tpu.ops.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(2)
+    for (B, H, T, D, bq, bk) in [
+        (2, 3, 65, 32, 1024, 32),   # flagship T, many kv tiles, ragged last
+        (1, 2, 130, 64, 64, 64),    # q AND kv tiled, ragged last tiles
+        (2, 2, 257, 128, 128, 128), # D=128: no lane padding; 3 ragged tiles
+        (1, 1, 8, 128, 8, 512),     # block_kv > T: degenerates to one tile
+        (1, 2, 300, 32, 96, 128),   # uneven q tiling with padded rows
+    ]:
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+                   for _ in range(3))
+        scale = 1.0 / np.sqrt(H * D)
+        out = flash_attention(q, k, v, scale, block_q=bq, block_kv=bk)
+        ref = _ref(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"{(B, H, T, D, bq, bk)}")

@@ -22,8 +22,12 @@ with read-synced windows and a grid-(B,H) masked-block variant
 matmuls, too little work to hide Mosaic per-program overhead.  The kernel
 becomes the right tool when head_dim >= 128 (no padding waste) or when T
 grows enough that keeping the (H,T,T) attention tensor out of HBM dominates
-— measured (tools/ab_pallas_shape.py, round 4): 1.61x over XLA at
-(512,8,256,128), 1.94x at (128,8,512,128), 2.13x at (64,4,1024,128).
+— measured (tools/ab_pallas_shape.py, round 4): 1.60x over XLA at
+(512,8,256,128), 1.92x at (128,8,512,128), 2.11x at (64,4,1024,128).
+Past fused_attention's T<=1024 VMEM cap, :func:`flash_attention` (online
+softmax, q and kv both tiled) runs at ANY sequence length with exact
+numerics — 1.25-1.28x over XLA at T=512-1024 and still ahead at T=4096
+where the whole-(T,T) kernel cannot compile.
 """
 
 from __future__ import annotations
@@ -118,3 +122,106 @@ def _bwd(scale, res, g):
 
 
 fused_attention.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------- #
+# KV-tiled online-softmax ("flash") attention: lifts the whole-(T,T) VMEM cap
+# --------------------------------------------------------------------------- #
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float, t: int, block_kv: int):
+    """One (b, h, i, j) program: fold KV tile j into q-tile i's running
+    softmax.
+
+    Scratch (m: row max, l: row normalizer, acc: unnormalized context)
+    persists across the sequential innermost kv-grid dimension; the output
+    block is revisited and written once on the last tile.  Classic
+    two-pass-free online softmax: p = exp(s - m_new),
+    acc <- acc*exp(m - m_new) + p @ v.
+    """
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (Tq, Dp)
+    k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dp)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Tq, Bk)
+    # mask kv positions beyond the true length (last tile padding)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+    s = jnp.where(col < t, s, -jnp.inf)
+
+    m_prev = m_ref[:][:, :1]  # (Tq, 1); lanes replicated
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    # a fully-masked tile keeps m at -inf; exp(-inf - -inf) would be NaN
+    safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    p = jnp.exp(s - safe_m)  # masked cols: exp(-inf) = 0
+    corr = jnp.exp(jnp.where(jnp.isfinite(m_prev), m_prev - safe_m, -jnp.inf))
+
+    l_new = l_ref[:][:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:][:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, scale: float, block_q: int = 1024,
+                    block_kv: int = 512):
+    """Fully tiled (q AND kv) fused attention: (B,H,T,D)^3 -> (B,T,H,D).
+
+    Unlike :func:`fused_attention` (whole (T,T) block in VMEM, T <= ~1024),
+    only one (block_q, block_kv) logits tile is live at a time, so T scales
+    to arbitrary lengths; VMEM holds one q tile + the f32 accumulator and
+    running max/normalizer scratch.  Forward-only kernel with the same
+    einsum-recompute backward class as fused_attention; intended for
+    long-context inference/serving and as the scaling path measured in
+    tools/ab_pallas_shape.py.
+    """
+    B, H, T, D = q.shape
+    Dp = _round_up(D, 128)
+    Bq = min(_round_up(block_q, 8), _round_up(T, 8))
+    Bk = min(_round_up(block_kv, 128), _round_up(T, 128))
+    Tq, Tkv = _round_up(T, Bq), _round_up(T, Bk)
+    ni, nj = Tq // Bq, Tkv // Bk
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, Tq - T), (0, Dp - D)])
+    kp, vp = (jnp.pad(a, [(0, 0), (0, 0), (0, Tkv - T), (0, Dp - D)])
+              for a in (k, v))
+
+    qspec = pl.BlockSpec((1, 1, Bq, Dp), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, Bk, Dp), lambda b, h, i, j: (b, h, j, 0),
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, Bq, Dp), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, t=T, block_kv=Bk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H, ni, nj),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Bq, 128), jnp.float32),  # running row max
+            pltpu.VMEM((Bq, 128), jnp.float32),  # running row normalizer
+            pltpu.VMEM((Bq, Dp), jnp.float32),   # unnormalized context
+        ],
+        interpret=(jax.default_backend() != "tpu"),
+    )(qp, kp, vp)
+    return out[:, :, :T, :D].transpose(0, 2, 1, 3)
