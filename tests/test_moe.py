@@ -222,3 +222,28 @@ def test_moe_three_axis_mesh_matches_single_device():
         losses[name] = float(m["loss"])
 
     np.testing.assert_allclose(losses["single"], losses["3d"], rtol=1e-5)
+
+
+def test_moe_rejects_uncomposable_parallel_modes():
+    """Loud failures where MoE would silently mis-train: pipeline stages
+    drop the sown balance loss; sequence-parallel pad tokens would steal
+    per-example router capacity."""
+    from vit_cifar_tpu.parallel.pipeline import PipelineViT
+    from vit_cifar_tpu.parallel.sequence import seq_parallel_model
+
+    cfg = Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=32,
+                 head=4, precision="32", dropout=0.0, moe_experts=4)
+    model, _ = get_model(cfg)
+
+    mesh_pp = make_mesh((2, 4), ("data", "pipe"))
+    with pytest.raises(ValueError, match="does not compose with the MoE"):
+        PipelineViT(model, mesh_pp, 2)
+
+    mesh_sp = make_mesh((2, 4), ("data", "seq"))  # T=65 needs 3 pad tokens
+    with pytest.raises(ValueError, match="stealing per-example expert"):
+        seq_parallel_model(model, mesh_sp)
+
+    # divisible seq axis -> no pad -> SP+MoE composes fine
+    no_cls, _ = get_model(cfg.replace(is_cls_token=False))  # T=64
+    spm = seq_parallel_model(no_cls, mesh_sp)
+    assert spm.seq_pad == 0

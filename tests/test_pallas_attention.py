@@ -71,3 +71,33 @@ def test_flash_attention_matches_einsum():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=f"{(B, H, T, D, bq, bk)}")
+
+
+def test_flash_attention_grad_matches():
+    from vit_cifar_tpu.ops.pallas.attention import flash_attention
+
+    B, H, T, D = 1, 2, 19, 8
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+               for _ in range(3))
+    scale = 0.1
+    g_p = jax.grad(
+        lambda a: jnp.sum(flash_attention(a, k, v, scale, 8, 128) ** 2))(q)
+    g_r = jax.grad(lambda a: jnp.sum(_ref(a, k, v, scale) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mhsa_use_pallas_routes_long_sequences_to_flash():
+    """use_pallas=True must not VMEM-OOM past fused_attention's T cap: the
+    mixer routes T > 1024 to the tiled kernel and stays exact."""
+    T, F, H = 1032, 32, 4  # > 1024 tokens with tiny features: fast in CI
+    m = MultiHeadSelfAttention(features=F, head=H, use_pallas=True)
+    m_ref = MultiHeadSelfAttention(features=F, head=H, use_pallas=False)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(1, T, F)),
+                    jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    want = m_ref.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

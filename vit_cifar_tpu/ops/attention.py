@@ -58,9 +58,13 @@ class MultiHeadSelfAttention(nn.Module):
 
         masked = self.valid_len is not None and self.valid_len < T
         if self.use_pallas and not self.save_attn_map and not masked:
-            from .pallas.attention import fused_attention
+            from .pallas.attention import flash_attention, fused_attention
 
-            out = fused_attention(q, k, v, 1.0 / float(self.features**0.5))
+            # fused holds the whole per-head (T,T) block in VMEM — fastest
+            # in range; beyond its cap route to the tiled online-softmax
+            # kernel (see docs/PERFORMANCE.md "Fused Pallas attention")
+            kernel = fused_attention if T <= 1024 else flash_attention
+            out = kernel(q, k, v, 1.0 / float(self.features**0.5))
         else:
             # (B,H,T,T) logits; full-dim scale per layers.py:97
             logits = jnp.einsum("bhif,bhjf->bhij", q, k) / sqrt_d

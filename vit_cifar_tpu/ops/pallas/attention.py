@@ -179,6 +179,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0, 0] = (acc_ref[:] / l_ref[:][:, :1]).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q, k, v, scale: float, block_q: int = 1024,
                     block_kv: int = 512):
     """Fully tiled (q AND kv) fused attention: (B,H,T,D)^3 -> (B,T,H,D).
@@ -225,3 +226,17 @@ def flash_attention(q, k, v, scale: float, block_q: int = 1024,
         interpret=(jax.default_backend() != "tpu"),
     )(qp, kp, vp)
     return out[:, :, :T, :D].transpose(0, 2, 1, 3)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_kv):
+    return flash_attention(q, k, v, scale, block_q, block_kv), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_kv, res, g):
+    # same einsum-recompute backward as fused_attention (materializes the
+    # (B,H,T,T) attention in HBM — fine for the T this repo trains at; a
+    # tiled flash backward is the known upgrade if long-T TRAINING lands)
+    return _bwd(scale, res, g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -86,6 +86,13 @@ class PipelineViT:
                 "folding for stochastic layers is not implemented; the "
                 "README recipe uses dropout 0)."
             )
+        if vit.mlp_factory is not None:
+            raise ValueError(
+                "pipeline parallelism does not compose with the MoE "
+                "mlp_factory: the staged block rebuild would drop the sown "
+                "Switch balance loss silently. Scale MoE over an 'expert' "
+                "mesh axis instead (parallel/mesh._ep_spec)."
+            )
         if not has_pipe_axis(mesh):
             raise ValueError("mesh has no 'pipe' axis > 1")
         stages = mesh.shape["pipe"]

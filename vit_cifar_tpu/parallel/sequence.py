@@ -88,6 +88,15 @@ def seq_parallel_model(vit: ViT, mesh: Mesh) -> ViT:
     seq_len = vit.patch**2 + (1 if vit.is_cls_token else 0)
     S = mesh.shape["seq"]
     pad = (-seq_len) % S
+    if pad and vit.mlp_factory is not None:
+        raise ValueError(
+            "sequence parallelism needs pad tokens here (T="
+            f"{seq_len} does not divide the seq axis {S}) and the MoE "
+            "mlp_factory routes pad tokens through the Switch router, "
+            "silently stealing per-example expert capacity from real "
+            "tokens. Use a seq axis that divides T, or scale MoE over an "
+            "'expert' mesh axis instead."
+        )
 
     data_dim = (
         "data" if "data" in mesh.axis_names and mesh.shape["data"] > 1 else None
