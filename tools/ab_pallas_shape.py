@@ -52,9 +52,19 @@ def steady_window_ms(fn, args, iters, n_windows=8):
     return min(times[-2:]) if len(times) >= 2 else times[-1]
 
 
+def grad_fn(core, scale):
+    """fwd+bwd of a weighted scalar through the attention core: the
+    training-economics A/B for the round-5 tiled flash backward."""
+    def f(q, k, v, w):
+        return jnp.sum(w * core(q, k, v, scale).astype(jnp.float32))
+    return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--bwd", action="store_true",
+                    help="measure fwd+bwd (value_and_grad) instead of fwd")
     args = ap.parse_args()
 
     # (label, B, H, T, D) — ~137 GFLOP of attention core per call so the
@@ -81,6 +91,44 @@ def main():
             jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
             for _ in range(3)
         )
+
+        if args.bwd:
+            w = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
+            gx = grad_fn(lambda q, k, v, s: xla_core(q, k, v, s), scale)
+            gf = grad_fn(flash_attention, scale)
+
+            def sync_grads(fn, q, k, v):
+                outs = None
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    outs = fn(q, k, v, w)
+                _ = float(jnp.sum(outs[0]))
+                return (time.perf_counter() - t0) / args.iters * 1e3, outs
+
+            row = {"shape": label, "B": B, "H": H, "T": T, "D": D,
+                   "mode": "fwd+bwd"}
+            want = None
+            try:
+                want = gx(q, k, v, w)
+                times = [sync_grads(gx, q, k, v)[0] for _ in range(6)]
+                row["xla_ms"] = round(min(times[-2:]), 3)
+            except Exception as e:  # einsum bwd can OOM at long T
+                row["xla_ms"] = None
+                row["xla_error"] = type(e).__name__
+            got = gf(q, k, v, w)
+            if want is not None:
+                for name, a, b in zip("qkv", got, want):
+                    np.testing.assert_allclose(
+                        np.asarray(a, np.float32), np.asarray(b, np.float32),
+                        rtol=1e-1, atol=1e-1, err_msg=f"d{name} {label}")
+            times = [sync_grads(gf, q, k, v)[0] for _ in range(6)]
+            row["flash_ms"] = round(min(times[-2:]), 3)
+            if row["xla_ms"]:
+                row["flash_speedup"] = round(row["xla_ms"] / row["flash_ms"], 2)
+            results.append(row)
+            print(json.dumps(row))
+            continue
+
         fx = jax.jit(lambda q, k, v: xla_core(q, k, v, scale))
         want = np.asarray(fx(q, k, v), np.float32)
         ms_x = steady_window_ms(fx, (q, k, v), args.iters)

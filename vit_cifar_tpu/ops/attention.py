@@ -35,6 +35,10 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     save_attn_map: bool = False
     use_pallas: bool = False
+    # benchmarking override for the measured-policy routing: force "einsum",
+    # "fused", or "flash" regardless of shape (None -> route by
+    # ops.pallas.attention.select_kernel when use_pallas is set)
+    pallas_kernel: str | None = None
     # static: when set and < T, keys/values beyond this index are padding
     # (sequence-parallel zero-padding, parallel/sequence.py) and are masked
     # out of the softmax so real tokens never attend to them.  Pad QUERIES
@@ -57,13 +61,27 @@ class MultiHeadSelfAttention(nn.Module):
         v = v.reshape(B, T, self.head, head_dim).transpose(0, 2, 1, 3)
 
         masked = self.valid_len is not None and self.valid_len < T
-        if self.use_pallas and not self.save_attn_map and not masked:
+        choice = "einsum"
+        if (self.use_pallas or self.pallas_kernel) and not self.save_attn_map \
+                and not masked:
+            if self.pallas_kernel is not None:
+                if self.pallas_kernel not in ("einsum", "fused", "flash"):
+                    raise ValueError(
+                        f"pallas_kernel={self.pallas_kernel!r}: expected "
+                        "'einsum', 'fused', or 'flash'"
+                    )
+                choice = self.pallas_kernel
+            else:
+                # measured policy (docs/PERFORMANCE.md): einsum when the
+                # lane padding would dominate (D < 128), fused while its
+                # all-heads block fits VMEM, flash beyond
+                from .pallas.attention import select_kernel
+
+                choice = select_kernel(self.head, T, head_dim)
+        if choice != "einsum":
             from .pallas.attention import flash_attention, fused_attention
 
-            # fused holds the whole per-head (T,T) block in VMEM — fastest
-            # in range; beyond its cap route to the tiled online-softmax
-            # kernel (see docs/PERFORMANCE.md "Fused Pallas attention")
-            kernel = fused_attention if T <= 1024 else flash_attention
+            kernel = fused_attention if choice == "fused" else flash_attention
             out = kernel(q, k, v, 1.0 / float(self.features**0.5))
         else:
             # (B,H,T,T) logits; full-dim scale per layers.py:97

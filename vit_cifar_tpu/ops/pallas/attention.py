@@ -27,7 +27,11 @@ grows enough that keeping the (H,T,T) attention tensor out of HBM dominates
 Past fused_attention's T<=1024 VMEM cap, :func:`flash_attention` (online
 softmax, q and kv both tiled) runs at ANY sequence length with exact
 numerics — 1.25-1.28x over XLA at T=512-1024 and still ahead at T=4096
-where the whole-(T,T) kernel cannot compile.
+where the whole-(T,T) kernel cannot compile.  Since round 5 its BACKWARD is
+tiled too (two kernels: dq, then dk/dv, FlashAttention-2 style with the
+forward's logsumexp as the only extra residual), so training through
+flash_attention keeps flash memory economics — no (B,H,T,T) tensor in HBM
+in either direction.
 """
 
 from __future__ import annotations
@@ -42,6 +46,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Leave headroom under v5e's ~16 MB VMEM for double buffering + temporaries.
+VMEM_BUDGET_BYTES = 12 * 2**20
+
+
+def select_kernel(heads: int, t: int, head_dim: int) -> str:
+    """Measured-policy kernel routing (docs/PERFORMANCE.md, "division of
+    labor"): returns "einsum", "fused", or "flash".
+
+    - ``head_dim < 128``: the mandatory lane padding (D -> 128) multiplies
+      the MXU work; XLA's fused einsums win (kernel measured 0.76x at the
+      flagship (128,12,65,32) — ``use_pallas=True`` must never hand the user
+      a measured slowdown, so this routes back to einsum).
+    - ``fused_attention`` when its per-batch block fits VMEM: all-heads
+      q/k/v/o tiles plus one per-head (Tp,Tp) f32 logits tile.  H-aware —
+      a bare ``T <= 1024`` check would Mosaic-OOM at e.g. H=12, T~1024,
+      D=128 (~24 MB of head tiles alone).
+    - ``flash_attention`` beyond (any T; tiled fwd AND bwd).
+    """
+    if head_dim < 128:
+        return "einsum"
+    tp, dp = _round_up(t, 8), _round_up(head_dim, 128)
+    vmem = 4 * heads * tp * dp * 4 + tp * tp * 4
+    if t <= 1024 and vmem <= VMEM_BUDGET_BYTES:
+        return "fused"
+    return "flash"
 
 
 def _mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int, t: int):
@@ -129,8 +160,8 @@ fused_attention.defvjp(_fwd, _bwd)
 # --------------------------------------------------------------------------- #
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, scale: float, t: int, block_kv: int):
+def _flash_fwd_body(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                    *, scale: float, t: int, block_kv: int, lse_ref=None):
     """One (b, h, i, j) program: fold KV tile j into q-tile i's running
     softmax.
 
@@ -139,6 +170,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     block is revisited and written once on the last tile.  Classic
     two-pass-free online softmax: p = exp(s - m_new),
     acc <- acc*exp(m - m_new) + p @ v.
+
+    When ``lse_ref`` is given (the training/VJP forward) the per-row
+    logsumexp ``m + log(l)`` is also written on the last tile — the only
+    residual besides (q, k, v, o) the tiled backward needs.
     """
     j = pl.program_id(3)
     nj = pl.num_programs(3)
@@ -177,27 +212,29 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     @pl.when(j == nj - 1)
     def _finalize():
         o_ref[0, 0] = (acc_ref[:] / l_ref[:][:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0] = m_ref[:] + jnp.log(l_ref[:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, scale: float, block_q: int = 1024,
-                    block_kv: int = 512):
-    """Fully tiled (q AND kv) fused attention: (B,H,T,D)^3 -> (B,T,H,D).
-
-    Unlike :func:`fused_attention` (whole (T,T) block in VMEM, T <= ~1024),
-    only one (block_q, block_kv) logits tile is live at a time, so T scales
-    to arbitrary lengths; VMEM holds one q tile + the f32 accumulator and
-    running max/normalizer scratch.  Forward-only kernel with the same
-    einsum-recompute backward class as fused_attention; intended for
-    long-context inference/serving and as the scaling path measured in
-    tools/ab_pallas_shape.py.
-    """
-    B, H, T, D = q.shape
+def _flash_tiles(T: int, D: int, block_q: int, block_kv: int):
+    """Shared tiling arithmetic: lane-pad D to 128, sublane-pad q tiles to 8,
+    lane-pad kv tiles to 128 (they appear as the lane dim of the logits)."""
     Dp = _round_up(D, 128)
     Bq = min(_round_up(block_q, 8), _round_up(T, 8))
     Bk = min(_round_up(block_kv, 128), _round_up(T, 128))
     Tq, Tkv = _round_up(T, Bq), _round_up(T, Bk)
-    ni, nj = Tq // Bq, Tkv // Bk
+    return Dp, Bq, Bk, Tq, Tkv, Tq // Bq, Tkv // Bk
+
+
+def _flash_forward_impl(q, k, v, scale: float, block_q: int, block_kv: int,
+                        with_lse: bool):
+    """(B,H,T,D)^3 -> context (B,H,Tq,Dp) [+ lse (B,H,Tq,128) f32].
+
+    The lse output follows the official TPU flash-attention convention of
+    lane-broadcast per-row scalars (the row dim must stay on sublanes; a
+    (…,Bq)-last layout would need an in-kernel transpose)."""
+    B, H, T, D = q.shape
+    Dp, Bq, Bk, Tq, Tkv, ni, nj = _flash_tiles(T, D, block_q, block_kv)
     qp = jnp.pad(q, [(0, 0), (0, 0), (0, Tq - T), (0, Dp - D)])
     kp, vp = (jnp.pad(a, [(0, 0), (0, 0), (0, Tkv - T), (0, Dp - D)])
               for a in (k, v))
@@ -208,16 +245,29 @@ def flash_attention(q, k, v, scale: float, block_q: int = 1024,
                           memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, Bq, Dp), lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, 1, Bq, 128), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, t=T, block_kv=Bk
-    )
-    out = pl.pallas_call(
+    if with_lse:
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref):
+            _flash_fwd_body(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                            scale=scale, t=T, block_kv=Bk, lse_ref=lse_ref)
+        out_shape = (jax.ShapeDtypeStruct((B, H, Tq, Dp), q.dtype),
+                     jax.ShapeDtypeStruct((B, H, Tq, 128), jnp.float32))
+        out_specs = (ospec, lspec)
+    else:
+        kernel = functools.partial(
+            _flash_fwd_body, scale=scale, t=T, block_kv=Bk
+        )
+        out_shape = jax.ShapeDtypeStruct((B, H, Tq, Dp), q.dtype)
+        out_specs = ospec
+
+    return pl.pallas_call(
         kernel,
         grid=(B, H, ni, nj),
         in_specs=[qspec, kvspec, kvspec],
-        out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Tq, Dp), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((Bq, 128), jnp.float32),  # running row max
             pltpu.VMEM((Bq, 128), jnp.float32),  # running row normalizer
@@ -225,18 +275,200 @@ def flash_attention(q, k, v, scale: float, block_q: int = 1024,
         ],
         interpret=(jax.default_backend() != "tpu"),
     )(qp, kp, vp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(q, k, v, scale: float, block_q: int = 1024,
+                    block_kv: int = 512):
+    """Fully tiled (q AND kv) fused attention: (B,H,T,D)^3 -> (B,T,H,D).
+
+    Unlike :func:`fused_attention` (whole (T,T) block in VMEM, T <= ~1024),
+    only one (block_q, block_kv) logits tile is live at a time, so T scales
+    to arbitrary lengths; VMEM holds one q tile + the f32 accumulator and
+    running max/normalizer scratch.  The backward is tiled too (see
+    ``_flash_bwd_impl``): training-grade flash economics — nothing of size
+    (T, T) ever reaches HBM in either direction.
+    """
+    B, H, T, D = q.shape
+    out = _flash_forward_impl(q, k, v, scale, block_q, block_kv,
+                              with_lse=False)
     return out[:, :, :T, :D].transpose(0, 2, 1, 3)
 
 
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                         dq_ref, dq_acc, delta_ref,
+                         *, scale: float, t: int, block_kv: int):
+    """Grid (B, H, i, j), kv tile j innermost: accumulate q-tile i's grad.
+
+    dq_i = scale * sum_j ds_ij @ k_j with
+    ds = p * (dp - delta), p = exp(s - lse), dp = do @ v^T,
+    delta_i = rowsum(do_i * o_i)  (computed once at j == 0).
+    """
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    do = do_ref[0, 0].astype(jnp.float32)  # (Bq, Dp)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+        o = o_ref[0, 0].astype(jnp.float32)
+        delta_ref[:] = jnp.broadcast_to(
+            jnp.sum(do * o, axis=-1, keepdims=True), delta_ref.shape
+        )
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (Bq, Dp)
+    k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dp)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+    s = jnp.where(col < t, s, -jnp.inf)
+    p = jnp.exp(s - lse_ref[0, 0][:, :1])  # masked cols -> exp(-inf) = 0
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Bq, Bk)
+    ds = p * (dp - delta_ref[:][:, :1]) * scale
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, scale: float, t: int, block_kv: int):
+    """Grid (B, H, j, i), q tile i innermost: accumulate kv-tile j's grads.
+
+    dv_j = sum_i p_ij^T @ do_i;  dk_j = scale * sum_i ds_ij^T @ q_i.
+    delta_i is recomputed per (j, i) from the o/do tiles — elementwise VPU
+    work, negligible next to the four MXU matmuls per program.
+    """
+    i = pl.program_id(3)
+    ni = pl.num_programs(3)
+    j = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0].astype(jnp.float32)    # (Bq, Dp)
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)    # (Bk, Dp)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+    s = jnp.where(col < t, s, -jnp.inf)
+    p = jnp.exp(s - lse_ref[0, 0][:, :1])  # (Bq, Bk); pad kv cols are 0
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Bk, Dp)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (Bq, 1)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale  # (Bq, Bk)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Bk, Dp)
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, g, scale: float, block_q: int,
+                    block_kv: int):
+    """Tiled flash backward: two kernels, dq then dk/dv, each revisiting
+    (block_q, block_kv) logits tiles — the (B,H,T,T) attention tensor never
+    exists in HBM, matching the forward's memory economics.
+
+    ``o``/``g`` arrive in the public (B,T,H,D) layout; ``lse`` is the padded
+    lane-broadcast (B,H,Tq,128) residual from the forward.  Zero-padded
+    do rows make every pad-q contribution vanish identically (delta = 0,
+    ds = 0), and masked pad-kv columns zero p, so no extra row masking is
+    needed — pinned by the ragged-shape cases in tests/test_pallas_attention.
+    """
+    B, H, T, D = q.shape
+    Dp, Bq, Bk, Tq, Tkv, ni, nj = _flash_tiles(T, D, block_q, block_kv)
+    pad_q = [(0, 0), (0, 0), (0, Tq - T), (0, Dp - D)]
+    pad_kv = [(0, 0), (0, 0), (0, Tkv - T), (0, Dp - D)]
+    qp = jnp.pad(q, pad_q)
+    kp, vp = jnp.pad(k, pad_kv), jnp.pad(v, pad_kv)
+    dop = jnp.pad(g.transpose(0, 2, 1, 3), pad_q)
+    op = jnp.pad(o.transpose(0, 2, 1, 3), pad_q)
+
+    def qblock(idx):
+        return pl.BlockSpec((1, 1, Bq, Dp), idx, memory_space=pltpu.VMEM)
+
+    def kvblock(idx):
+        return pl.BlockSpec((1, 1, Bk, Dp), idx, memory_space=pltpu.VMEM)
+
+    interpret = jax.default_backend() != "tpu"
+
+    # --- pass 1: dq (grid i outer, j inner) ---
+    qi = lambda b, h, i, j: (b, h, i, 0)
+    kvj = lambda b, h, i, j: (b, h, j, 0)
+    lse_i = pl.BlockSpec((1, 1, Bq, 128), qi, memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, t=T, block_kv=Bk),
+        grid=(B, H, ni, nj),
+        in_specs=[qblock(qi), kvblock(kvj), kvblock(kvj), qblock(qi),
+                  qblock(qi), lse_i],
+        out_specs=qblock(qi),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Bq, Dp), jnp.float32),   # dq accumulator
+            pltpu.VMEM((Bq, 128), jnp.float32),  # delta = rowsum(do * o)
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, op, lse)
+
+    # --- pass 2: dk, dv (grid j outer, i inner) ---
+    qi2 = lambda b, h, j, i: (b, h, i, 0)
+    kvj2 = lambda b, h, j, i: (b, h, j, 0)
+    lse_i2 = pl.BlockSpec((1, 1, Bq, 128), qi2, memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, t=T,
+                          block_kv=Bk),
+        grid=(B, H, nj, ni),
+        in_specs=[kvblock(kvj2), kvblock(kvj2), qblock(qi2), qblock(qi2),
+                  qblock(qi2), lse_i2],
+        out_specs=(kvblock(kvj2), kvblock(kvj2)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Tkv, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Tkv, Dp), v.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((Bk, Dp), jnp.float32),  # dk accumulator
+            pltpu.VMEM((Bk, Dp), jnp.float32),  # dv accumulator
+        ],
+        interpret=interpret,
+    )(kp, vp, qp, dop, op, lse)
+
+    return (dq[:, :, :T, :D], dk[:, :, :T, :D], dv[:, :, :T, :D])
+
+
 def _flash_fwd(q, k, v, scale, block_q, block_kv):
-    return flash_attention(q, k, v, scale, block_q, block_kv), (q, k, v)
+    B, H, T, D = q.shape
+    out, lse = _flash_forward_impl(q, k, v, scale, block_q, block_kv,
+                                   with_lse=True)
+    out = out[:, :, :T, :D].transpose(0, 2, 1, 3)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_kv, res, g):
-    # same einsum-recompute backward as fused_attention (materializes the
-    # (B,H,T,T) attention in HBM — fine for the T this repo trains at; a
-    # tiled flash backward is the known upgrade if long-T TRAINING lands)
-    return _bwd(scale, res, g)
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, g, scale, block_q, block_kv)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
