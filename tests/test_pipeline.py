@@ -123,6 +123,58 @@ def test_pipeline_train_step_matches_single_chip():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_pipeline_three_axis_dp_pp_tp_matches_single_device():
+    """Megatron-within-stage (round-4 verdict next-step #4): a (2,2,2)
+    data x pipe x model mesh — GPipe stages whose per-stage block weights
+    are column/row-parallel over 'model' (GSPMD-auto inside the manual
+    shard_map) — equals the single-device train step: loss AND full param
+    tree + optimizer state after 2 steps."""
+    from util_trees import assert_states_equal
+    from vit_cifar_tpu.parallel.mesh import shard_params
+
+    rng = np.random.default_rng(3)
+    n = 32
+    x_np = rng.integers(0, 255, (n, 32 * 32 * 3), dtype=np.uint8)
+    y_np = rng.integers(0, 10, n, dtype=np.int32)
+    perm_np = rng.permutation(n).astype(np.int32)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+
+    losses, states = {}, {}
+    for name, shape, axes in [
+        ("single", (1,), ("data",)),
+        ("3d", (2, 2, 2), ("data", "pipe", "model")),
+    ]:
+        cfg = Config(**{**SMALL, "batch_size": 8,
+                        "mesh_shape": shape, "mesh_axes": axes})
+        ndev = int(np.prod(shape))
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes,
+                         devices=jax.devices()[:ndev])
+        model, _ = get_model(cfg)
+        if name == "3d":
+            model = PipelineViT(model, mesh, microbatches=2)
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        state = init_state(cfg, model, tx, sample)
+        if name == "3d":
+            state = state.replace(params=shard_params(mesh, state.params))
+            wq = state.params["enc0"]["mixer"]["Wq"]["kernel"]
+            assert "model" in wq.sharding.spec
+        from vit_cifar_tpu.parallel.mesh import replicated_sharding
+        repl = replicated_sharding(mesh)
+        step = jax.jit(make_train_step(cfg, model, tx, mesh=mesh))
+        for i in range(2):
+            state, m = step(state, jax.device_put(x_np, repl),
+                            jax.device_put(y_np, repl),
+                            jax.device_put(perm_np, repl), i)
+        losses[name] = float(m["loss"])
+        states[name] = state
+
+    np.testing.assert_allclose(losses["single"], losses["3d"], rtol=1e-5)
+    # atol 5e-5: adam amplifies f32 round-off on near-zero grads (one
+    # element of 2304 measured at 3.5e-5 after 2 steps); weights are O(0.1)
+    assert_states_equal(states["3d"], states["single"],
+                        rtol=1e-4, atol=5e-5, label="single-vs-dp.pp.tp/")
+
+
 def test_pipeline_eval_matches_sequential():
     cfg = Config(**{**SMALL, "batch_size": 32})
     mesh = make_mesh((2, 4), ("data", "pipe"))
@@ -183,3 +235,29 @@ def test_pipeline_rejects_unsupported_configs():
     _, params = _model_and_params(Config(**SMALL))
     with pytest.raises(ValueError, match="microbatch"):
         pv.apply({"params": params}, x, deterministic=True)
+    # mixers drawing per-step 'mask' randomness (hamburger rand_init MD
+    # bases) would silently reuse a fixed key inside the staged rebuild —
+    # round-4 advisor finding; must reject loudly
+    ham_cfg = Config(**{**SMALL, "model_name": "hamburger", "head": 1})
+    ham, _ = get_model(ham_cfg)
+    with pytest.raises(ValueError, match="mask"):
+        PipelineViT(ham, mesh)
+    # persistent EMA bases (train_md_bases) do not draw the rng: accepted
+    ham2, _ = get_model(ham_cfg.replace(train_md_bases=True))
+    PipelineViT(ham2, mesh)
+
+
+def test_pipeline_batch_divisibility_validated_up_front(tmp_path):
+    """Round-4 advisor finding: a bad eval_batch_size must fail at startup,
+    not after a full training epoch at the first eval-step trace."""
+    from vit_cifar_tpu.train.loop import train
+
+    cfg = Config(**{**SMALL, "num_layers": 4, "batch_size": 16,
+                    "eval_batch_size": 20,  # 20/2 per shard % 4 != 0
+                    "synthetic_data": True, "max_epochs": 1,
+                    "mesh_shape": (2, 2), "mesh_axes": ("data", "pipe"),
+                    "pipeline_microbatches": 4,
+                    "log_dir": str(tmp_path / "l"),
+                    "ckpt_dir": str(tmp_path / "m")})
+    with pytest.raises(ValueError, match="eval_batch_size"):
+        train(cfg, verbose=False)

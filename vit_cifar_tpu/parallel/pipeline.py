@@ -93,6 +93,36 @@ class PipelineViT:
                 "Switch balance loss silently. Scale MoE over an 'expert' "
                 "mesh axis instead (parallel/mesh._ep_spec)."
             )
+        # mixers that draw the 'mask' rng per call (hamburger rand_init MD
+        # bases, AE random masks) would silently fall back to a FIXED
+        # PRNGKey(0) inside the staged block rebuild (ops/hamburger.py
+        # has_rng fallback) while the sequential trunk draws fresh per-step
+        # randomness — numerical divergence with no error.  Reject loudly,
+        # mirroring the dropout/MoE guards.
+        import functools as _ft
+
+        mixer = vit.mixer
+        base = mixer.func if isinstance(mixer, _ft.partial) else mixer
+        kw = dict(getattr(mixer, "keywords", None) or {})
+        base_name = getattr(base, "__name__", str(base))
+        draws_mask_rng = (
+            (base_name in ("Hamburger", "HamburgerAttention")
+             and kw.get("rand_init", True))
+            # GatedNNMF's "ham" variant wraps the same burger machinery with
+            # rand_init = not train_bases (ops/gated_nnmf.py)
+            or (base_name == "GatedNNMF" and kw.get("nnmf_type") == "ham"
+                and not kw.get("train_bases", False))
+            or kw.get("mask_type") == "random"
+        )
+        if draws_mask_rng:
+            raise ValueError(
+                f"pipeline parallelism does not support the {base_name} "
+                "mixer with per-step random state (rand_init MD bases / "
+                "random AE masks): the pipelined apply does not thread the "
+                "'mask' rng, so the mixer would silently reuse a fixed key "
+                "every step. Use --train-md-bases (persistent EMA bases) or "
+                "run this model on a data-only mesh."
+            )
         if not has_pipe_axis(mesh):
             raise ValueError("mesh has no 'pipe' axis > 1")
         stages = mesh.shape["pipe"]
@@ -208,14 +238,38 @@ def _gpipe_blocks(vit: ViT, mesh: Mesh, M: int, stacked, h_all,
     param_specs = jax.tree_util.tree_map(
         lambda a: P("pipe", *([None] * (a.ndim - 1))), stacked
     )
-    # every mesh axis other than data/pipe (e.g. a trivial 'model' axis)
-    # must be size 1 for this entry point
+    # every mesh axis other than data/pipe/model (e.g. seq/expert) must be
+    # size 1 for this entry point
     for ax in mesh.axis_names:
-        if ax not in ("data", "pipe") and mesh.shape[ax] > 1:
+        if ax not in ("data", "pipe", "model") and mesh.shape[ax] > 1:
             raise ValueError(
-                f"pipeline_forward supports (data, pipe) meshes; axis "
-                f"'{ax}' has size {mesh.shape[ax]}"
+                f"pipeline_forward supports (data, pipe[, model]) meshes; "
+                f"axis '{ax}' has size {mesh.shape[ax]}"
             )
+
+    # Megatron-within-stage (dp x pp x tp): the 'model' axis stays AUTO in
+    # the shard_map (jax.shard_map's axis_names marks data/pipe as manual;
+    # GSPMD partitions everything else), so pinning the stacked per-stage
+    # weights to the standard TP layout (parallel/mesh._tp_spec, shifted one
+    # dim for the stacked layer axis) makes XLA run the usual column/row
+    # parallel schedule INSIDE each pipeline stage — the canonical
+    # tp-inside-pp composition, with no hand-written collectives.
+    tp = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    if tp:
+        from .mesh import _tp_spec
+
+        def stacked_tp_sharding(path, a):
+            names = [
+                str(getattr(k, "key", getattr(k, "name", k))) for k in path
+            ]
+            return NamedSharding(mesh, P("pipe", *_tp_spec(names, a.ndim - 1)))
+
+        stacked = jax.tree_util.tree_map_with_path(
+            lambda path, a: jax.lax.with_sharding_constraint(
+                a, stacked_tp_sharding(path, a)
+            ),
+            stacked,
+        )
 
     def stage_fn(local_params, h_local):
         s = jax.lax.axis_index("pipe")
@@ -240,10 +294,12 @@ def _gpipe_blocks(vit: ViT, mesh: Mesh, M: int, stacked, h_all,
         out = jnp.concatenate(outs[S - 1 :], axis=0)
         return jax.lax.psum(out, "pipe")
 
+    manual = frozenset(ax for ax in mesh.axis_names if ax in ("data", "pipe"))
     fn = jax.shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(param_specs, batch_spec),
         out_specs=batch_spec,
+        axis_names=manual,
     )
     return fn(stacked, h_all)

@@ -213,6 +213,17 @@ def train(cfg: Config, verbose: bool = True, stop_after: int | None = None) -> d
         model = seq_parallel_model(model, mesh)
     if has_pipe_axis(mesh):
         model = PipelineViT(model, mesh, cfg.pipeline_microbatches)
+        # validate BOTH batch sizes against the microbatch split up front:
+        # the per-shard check inside pipeline_forward only fires when that
+        # batch is traced, so a bad eval_batch_size would otherwise train a
+        # full epoch and die at the first eval-step trace.
+        for label, b in (("batch_size", cfg.batch_size),
+                         ("eval_batch_size", cfg.eval_batch_size)):
+            if (b // n_data) % model.microbatches:
+                raise ValueError(
+                    f"{label}={b}: per-data-shard batch {b // n_data} must "
+                    f"divide into {model.microbatches} pipeline microbatches"
+                )
     steps_per_epoch = len(train_x) // cfg.batch_size
     # The schedule derives the epoch as count // sched_steps (train/optim.py),
     # so it must be built with the number of optimizer steps per REAL epoch.
