@@ -96,7 +96,9 @@ def test_seq_parallel_train_step_matches_dp():
     y_np = rng.integers(0, 10, n, dtype=np.int32)
     perm_np = rng.permutation(n).astype(np.int32)
 
-    losses = {}
+    from util_trees import assert_states_equal
+
+    losses, states = {}, {}
     for name, shape, axes in [
         ("dp", (8,), ("data",)),
         ("dpsp", (2, 4), ("data", "seq")),
@@ -114,11 +116,16 @@ def test_seq_parallel_train_step_matches_dp():
         y_all = jax.device_put(y_np, repl)
         perm = jax.device_put(perm_np, repl)
         step = jax.jit(make_train_step(cfg, model, tx, mesh=mesh))
-        for i in range(2):
+        for i in range(4):
             state, m = step(state, x_all, y_all, perm, i)
         losses[name] = float(m["loss"])
+        states[name] = state
 
     np.testing.assert_allclose(losses["dp"], losses["dpsp"], rtol=1e-5)
+    # full equality contract (round-4 verdict weak #3): a pad-row artifact
+    # confined to pos_emb/attention params could hide behind a matching loss
+    assert_states_equal(states["dpsp"], states["dp"], atol=2e-5,
+                        label="dp-vs-dpsp/")
 
 
 def test_seq_parallel_no_pad_when_divisible():
