@@ -23,9 +23,10 @@ from vit_cifar_tpu.train.optim import make_optimizer
 
 
 def _make_ckpt(tmp_path, **cfg_kw):
-    cfg = Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=32,
-                 head=4, patch=8, precision="32", synthetic_data=True,
-                 **cfg_kw)
+    base = dict(model_name="vit", num_layers=2, hidden=32, mlp_hidden=32,
+                head=4, patch=8, precision="32", synthetic_data=True)
+    base.update(cfg_kw)
+    cfg = Config(**base)
     model, _ = get_model(cfg)
     state = init_state(cfg, model, make_optimizer(cfg, 4),
                        jnp.zeros((2, 32, 32, 3), jnp.float32))
@@ -75,6 +76,60 @@ def test_export_artifact_is_standalone(tmp_path):
     assert np.isfinite(logits).all()
     with open(os.path.join(out, "serving.json")) as f:
         assert json.load(f)["platforms"]
+
+
+def _zoo_export_cases():
+    """One export case per zoo family (round-4 verdict next-step #5: the
+    custom-VJP NNMF and EMA-bases hamburger paths under jax.export are
+    exactly where export breaks silently).  Tiny shapes; every model name
+    from config.MODEL_NAMES plus the EMA-bases hamburger variant."""
+    from vit_cifar_tpu.config import MODEL_NAMES
+
+    cases = []
+    for name in MODEL_NAMES:
+        kw = {"model_name": name}
+        if name.startswith(("hamburger", "gnnmf")) or name == "ae":
+            kw.update(head=1, ffn_features=16, md_iter=2)
+        if name.startswith("aft"):
+            kw.update(head=1)
+        if name in ("gmlp", "wgmlp", "linear", "ae_baseline"):
+            kw.update(ffn_features=16)
+        if name == "lgcnn":
+            kw.update(ffn_features=16, kernel_size=3)
+        if name == "wlgcnn":
+            # the weight-gated mixer requires hidden_features == 2*channels
+            # (models/cnn.py WeightLocalGlobalConvolution, layers.py:690)
+            kw.update(ffn_features=64, kernel_size=3)
+        cases.append((name, kw))
+    # persistent EMA bases: inference reads the 'state' collection baked
+    # into the artifact
+    cases.append(("hamburger_ema", {"model_name": "hamburger", "head": 1,
+                                    "ffn_features": 16, "md_iter": 2,
+                                    "train_md_bases": True}))
+    return cases
+
+
+import pytest
+
+
+@pytest.mark.parametrize("label,kw", _zoo_export_cases(),
+                         ids=[c[0] for c in _zoo_export_cases()])
+def test_export_covers_full_zoo(tmp_path, label, kw):
+    """Every zoo family exports, deserializes, and serves logits equal to
+    the in-framework eval forward."""
+    cfg, model, state, ckpt = _make_ckpt(tmp_path, **kw)
+    out = export_inference(ckpt, os.path.join(tmp_path, "art"))
+    served = load_inference(out)
+    imgs = np.random.default_rng(2).integers(
+        0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    got = served.predict(imgs)
+    x = normalize(jnp.asarray(imgs), cfg.mean, cfg.std).astype(
+        cfg.compute_dtype)
+    want = model.apply({"params": state.params, **state.model_state},
+                       x, deterministic=True)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               rtol=1e-5, atol=1e-5, err_msg=label)
+    assert got.shape == (3, cfg.num_classes)
 
 
 def test_export_covers_moe_model(tmp_path):
