@@ -60,6 +60,32 @@ def load_run_model(
     return model, variables, np.asarray(imgs), np.asarray(out), inter["intermediates"]
 
 
+def run_on_images(model_path: str, imgs_u8, which: str = "best"):
+    """Attention-capturing forward on USER-SUPPLIED uint8 images.
+
+    Same restore + ``save_attn_map`` path as :func:`load_run_model`, but the
+    batch is caller-provided (the live dashboard server's ad-hoc-input
+    exploration — reference dashboard.py:176-200 recomputes on the picked
+    model server-side the same way).  ``imgs_u8``: (B, img_size, img_size,
+    in_c) uint8.  -> (cfg, logits, intermediates).
+    """
+    payload, cfg = load_checkpoint(model_path, prefer=which)
+    cfg = cfg.replace(save_attn_map=True)
+    model, _ = get_model(cfg)
+    variables = {"params": payload["params"],
+                 **(payload.get("model_state", {}) or {})}
+    imgs = np.asarray(imgs_u8, np.uint8)
+    assert imgs.ndim == 4 and imgs.shape[1:] == (
+        cfg.img_size, cfg.img_size, cfg.in_c
+    ), f"expected (B,{cfg.img_size},{cfg.img_size},{cfg.in_c}) uint8, got {imgs.shape}"
+    x = normalize(jnp.asarray(imgs), cfg.mean, cfg.std).astype(cfg.compute_dtype)
+    out, inter = model.apply(
+        variables, x, deterministic=True,
+        rngs={"mask": jax.random.PRNGKey(0)}, mutable=["intermediates"],
+    )
+    return cfg, np.asarray(out), inter["intermediates"]
+
+
 def find_checkpoints(ckpt_dir: str = "models") -> list[str]:
     """Checkpoint directories under ``ckpt_dir``, oldest first (dashboard
     model picker — its ``[-max_models:]`` slice then keeps the newest)."""
