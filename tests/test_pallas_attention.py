@@ -38,6 +38,34 @@ def test_fused_attention_grad_matches():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_attention_backward_is_tiled_all_grads():
+    """Round 5: fused_attention's VJP shares the tiled flash backward (its
+    einsum-recompute predecessor materialized 2x (B,H,T,T) f32 in HBM at
+    the kernel's own routed regime).  dq/dk/dv pinned vs the einsum core
+    across ragged/padded shapes, and the jaxpr must contain the backward
+    pallas_calls with no (B,H,T,T) intermediate."""
+    rng = np.random.default_rng(11)
+    for (B, H, T, D) in [(2, 3, 65, 32), (1, 2, 130, 64), (2, 2, 96, 128)]:
+        q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+                   for _ in range(3))
+        w = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        scale = 1.0 / np.sqrt(H * D)
+        g_p = jax.grad(lambda args: jnp.sum(
+            w * fused_attention(*args, scale)))((q, k, v))
+        g_r = jax.grad(lambda args: jnp.sum(w * _ref(*args, scale)))((q, k, v))
+        for name, gp, gr in zip(("dq", "dk", "dv"), g_p, g_r):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-5,
+                err_msg=f"{name} @ {(B, H, T, D)}")
+
+    B, H, T, D = 1, 2, 256, 32
+    z = jnp.zeros((B, H, T, D), jnp.float32)
+    txt = str(jax.make_jaxpr(
+        jax.grad(lambda a: jnp.sum(fused_attention(a, z, z, 0.1))))(z))
+    assert txt.count("pallas_call") >= 3  # fused fwd(+lse), dq, dkdv
+    assert f"{B},{H},{T},{T}" not in txt.replace(" ", "")
+
+
 def test_mhsa_module_pallas_path():
     # head_dim 8 < 128 would auto-route to einsum (the measured policy);
     # the benchmarking override forces the fused kernel through the module
@@ -61,11 +89,42 @@ def test_kernel_routing_follows_measured_policy():
 
     assert select_kernel(12, 65, 32) == "einsum"      # flagship shape
     assert select_kernel(8, 1024, 64) == "einsum"     # any D < 128
-    assert select_kernel(4, 1024, 128) == "fused"     # measured 1.6-2.1x
-    assert select_kernel(8, 512, 128) == "fused"
-    # H-aware: 4*12*1024*128*4B ~ 25 MB of head tiles -> fused would OOM
+    assert select_kernel(8, 512, 128) == "fused"      # measured 1.6-1.9x
+    assert select_kernel(8, 256, 128) == "fused"
+    # VMEM estimate includes the training lse output: (4,1024,128) measured
+    # 16 KB over the 16 MB stack limit under fused fwd+lse -> flash (still
+    # a measured fwd win there); H=12 overflows on head tiles alone
+    assert select_kernel(4, 1024, 128) == "flash"
     assert select_kernel(12, 1024, 128) == "flash"
     assert select_kernel(4, 2048, 128) == "flash"     # past the (T,T) cap
+    # training: fwd+bwd measured below 1x vs XLA under T=512 -> einsum
+    assert select_kernel(8, 256, 128, training=True) == "einsum"
+    assert select_kernel(8, 512, 128, training=True) == "fused"
+    assert select_kernel(4, 2048, 128, training=True) == "flash"
+
+
+def test_use_pallas_reachable_from_config():
+    """--use-pallas / --pallas-kernel plumb through Config into the vit
+    mixer; the flagship shape still routes to einsum (no pallas_call) while
+    a forced kernel produces one."""
+    from vit_cifar_tpu.config import Config, config_from_args
+    from vit_cifar_tpu.models import get_model
+
+    cfg = config_from_args(["--model-name", "vit", "--use-pallas",
+                            "--pallas-kernel", "fused"])
+    assert cfg.use_pallas and cfg.pallas_kernel == "fused"
+
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    base = dict(model_name="vit", num_layers=1, hidden=32, mlp_hidden=32,
+                head=4, precision="32")
+    m_auto, _ = get_model(Config(**base, use_pallas=True))
+    p = m_auto.init(jax.random.PRNGKey(0), x)
+    txt = str(jax.make_jaxpr(lambda v: m_auto.apply(p, v))(x))
+    assert "pallas_call" not in txt  # head_dim 8 -> measured policy: einsum
+
+    m_forced, _ = get_model(Config(**base, pallas_kernel="fused"))
+    txt = str(jax.make_jaxpr(lambda v: m_forced.apply(p, v))(x))
+    assert "pallas_call" in txt
 
 
 def test_mhsa_invalid_pallas_kernel_raises():

@@ -125,6 +125,25 @@ def main():
             row["flash_ms"] = round(min(times[-2:]), 3)
             if row["xla_ms"]:
                 row["flash_speedup"] = round(row["xla_ms"] / row["flash_ms"], 2)
+            from vit_cifar_tpu.ops.pallas.attention import select_kernel
+
+            if select_kernel(H, T, D) == "fused" or (T <= 512 and D >= 128):
+                # fused fwd + shared tiled bwd (round 5); only at shapes the
+                # router would pick (its VMEM estimate includes the training
+                # lse output — forcing fused past it Mosaic-OOMs)
+                gfu = grad_fn(fused_attention, scale)
+                got_f = gfu(q, k, v, w)
+                if want is not None:
+                    for name, a, b in zip("qkv", got_f, want):
+                        np.testing.assert_allclose(
+                            np.asarray(a, np.float32),
+                            np.asarray(b, np.float32),
+                            rtol=1e-1, atol=1e-1, err_msg=f"fused d{name} {label}")
+                times = [sync_grads(gfu, q, k, v)[0] for _ in range(6)]
+                row["fused_ms"] = round(min(times[-2:]), 3)
+                if row["xla_ms"]:
+                    row["fused_speedup"] = round(
+                        row["xla_ms"] / row["fused_ms"], 2)
             results.append(row)
             print(json.dumps(row))
             continue

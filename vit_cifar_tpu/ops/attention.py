@@ -73,11 +73,13 @@ class MultiHeadSelfAttention(nn.Module):
                 choice = self.pallas_kernel
             else:
                 # measured policy (docs/PERFORMANCE.md): einsum when the
-                # lane padding would dominate (D < 128), fused while its
+                # lane padding would dominate (D < 128) or when training at
+                # T < 512 (fwd+bwd measured below 1x there), fused while its
                 # all-heads block fits VMEM, flash beyond
                 from .pallas.attention import select_kernel
 
-                choice = select_kernel(self.head, T, head_dim)
+                choice = select_kernel(self.head, T, head_dim,
+                                       training=not deterministic)
         if choice != "einsum":
             from .pallas.attention import flash_attention, fused_attention
 

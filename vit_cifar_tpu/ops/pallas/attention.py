@@ -9,9 +9,12 @@ Numerics match ops.attention.MultiHeadSelfAttention exactly: the reference's
 full-model-dim softmax scale (layers.py:97) is passed in as ``scale``, and the
 softmax runs in fp32 with max-subtraction like jax.nn.softmax.
 
-Forward-only: the custom VJP simply recomputes attention with einsums for the
-backward (cheap at T=65); training uses the einsum path by default and this
-kernel is opt-in via MultiHeadSelfAttention(use_pallas=True).
+Training-grade since round 5: the custom VJP saves the per-row logsumexp and
+runs the tiled flash backward (shared with :func:`flash_attention`), so no
+(T,T) tensor reaches HBM in either direction.  Training at the flagship shape
+still uses the einsum path by default (measured faster at D < 128); the
+kernels are opt-in via MultiHeadSelfAttention(use_pallas=True), which routes
+by the measured policy (:func:`select_kernel`).
 
 Measured on one v5e chip (B=128, H=12, T=65, D=32, fp32): 1.81 ms vs 0.90 ms
 for XLA's fused einsums — the mandatory lane padding (D 32 -> 128) quadruples
@@ -52,7 +55,8 @@ def _round_up(x: int, m: int) -> int:
 VMEM_BUDGET_BYTES = 12 * 2**20
 
 
-def select_kernel(heads: int, t: int, head_dim: int) -> str:
+def select_kernel(heads: int, t: int, head_dim: int,
+                  training: bool = False) -> str:
     """Measured-policy kernel routing (docs/PERFORMANCE.md, "division of
     labor"): returns "einsum", "fused", or "flash".
 
@@ -60,6 +64,9 @@ def select_kernel(heads: int, t: int, head_dim: int) -> str:
       the MXU work; XLA's fused einsums win (kernel measured 0.76x at the
       flagship (128,12,65,32) — ``use_pallas=True`` must never hand the user
       a measured slowdown, so this routes back to einsum).
+    - ``training`` additionally routes ``T < 512`` to einsum: fwd+bwd
+      measured 0.96x at (512,8,256,128) where the fwd alone is 1.60x — the
+      backward's tile revisits only pay off once the (T,T) tensors get big.
     - ``fused_attention`` when its per-batch block fits VMEM: all-heads
       q/k/v/o tiles plus one per-head (Tp,Tp) f32 logits tile.  H-aware —
       a bare ``T <= 1024`` check would Mosaic-OOM at e.g. H=12, T~1024,
@@ -68,14 +75,20 @@ def select_kernel(heads: int, t: int, head_dim: int) -> str:
     """
     if head_dim < 128:
         return "einsum"
+    if training and t < 512:
+        return "einsum"
     tp, dp = _round_up(t, 8), _round_up(head_dim, 128)
-    vmem = 4 * heads * tp * dp * 4 + tp * tp * 4
+    # q/k/v/o all-heads blocks + the per-head (Tp,Tp) f32 logits tile + the
+    # lane-broadcast lse output the training forward also writes (measured:
+    # omitting it put (64,4,1024,128) 16 KB over the 16 MB stack limit)
+    vmem = 4 * heads * tp * dp * 4 + tp * tp * 4 + heads * tp * 128 * 4
     if t <= 1024 and vmem <= VMEM_BUDGET_BYTES:
         return "fused"
     return "flash"
 
 
-def _mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int, t: int):
+def _mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
+                 t: int, lse_ref=None):
     for h in range(heads):
         q = q_ref[h].astype(jnp.float32)  # (Tp, Dp)
         k = k_ref[h].astype(jnp.float32)
@@ -86,20 +99,26 @@ def _mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int, t: int
         # mask padded keys (cols >= t); padded D lanes are zero-filled already
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < t, logits, -jnp.inf)
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits)
-        attn = p / jnp.sum(p, axis=-1, keepdims=True)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        attn = p / l
         o_ref[h] = jnp.dot(
             attn, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # per-row logsumexp residual for the shared tiled flash backward
+            lse_ref[h] = jnp.broadcast_to(m + jnp.log(l), lse_ref[h].shape)
 
 
-def _fused_attention_fwd_impl(q, k, v, scale: float):
-    """q/k/v: (B, H, T, D) -> context (B, H, T, D).
+def _fused_attention_fwd_impl(q, k, v, scale: float, with_lse: bool = False):
+    """q/k/v: (B, H, T, D) -> context (B, H, T, D) [+ lse (B, H, Tp, 128)].
 
     Mosaic requires lane-aligned block slices: T pads to a multiple of 8
     (sublanes), D to 128 (lanes); padded keys are masked in the kernel and
-    padded rows sliced away after.
+    padded rows sliced away after.  ``with_lse`` (the training/VJP path)
+    also emits the per-row logsumexp in the lane-broadcast layout the tiled
+    flash backward consumes.
     """
     B, H, T, D = q.shape
     Tp, Dp = _round_up(T, 8), _round_up(D, 128)
@@ -109,6 +128,26 @@ def _fused_attention_fwd_impl(q, k, v, scale: float):
     kernel = functools.partial(_mhsa_kernel, scale=scale, heads=H, t=T)
     spec = pl.BlockSpec((1, H, Tp, Dp), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+
+    if with_lse:
+        lspec = pl.BlockSpec((1, H, Tp, 128), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+        def kernel3l(q_ref, k_ref, v_ref, o_ref, lse_ref):
+            kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
+                   lse_ref=lse_ref.at[0])
+
+        out, lse = pl.pallas_call(
+            kernel3l,
+            grid=(B,),
+            in_specs=[spec, spec, spec],
+            out_specs=(spec, lspec),
+            out_shape=(jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),
+                       jax.ShapeDtypeStruct((B, H, Tp, 128), jnp.float32)),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :, :T, :D], lse
 
     def kernel3(q_ref, k_ref, v_ref, o_ref):
         kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0])
@@ -120,7 +159,7 @@ def _fused_attention_fwd_impl(q, k, v, scale: float):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),
         # interpreter on non-TPU backends so the CPU test suite runs it
-        interpret=(jax.default_backend() != "tpu"),
+        interpret=interpret,
     )(qp, kp, vp)
     return out[:, :, :T, :D]
 
@@ -134,22 +173,23 @@ def fused_attention(q, k, v, scale: float):
 
 
 def _fwd(q, k, v, scale):
-    return fused_attention(q, k, v, scale), (q, k, v)
+    out, lse = _fused_attention_fwd_impl(q, k, v, scale, with_lse=True)
+    out = out.transpose(0, 2, 1, 3)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, res, g):
-    """Einsum recompute backward (T=65: recompute is cheaper than residuals)."""
-    q, k, v = res
-    qf, kf, vf = (a.astype(jnp.float32) for a in (q, k, v))
-    logits = jnp.einsum("bhid,bhjd->bhij", qf, kf) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
-    gf = g.astype(jnp.float32).transpose(0, 2, 1, 3)  # (B,H,T,D)
-    dv = jnp.einsum("bhij,bhid->bhjd", attn, gf)
-    dattn = jnp.einsum("bhid,bhjd->bhij", gf, vf)
-    dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhij,bhjd->bhid", dlogits, kf) * scale
-    dk = jnp.einsum("bhij,bhid->bhjd", dlogits, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    """Tiled flash backward shared with :func:`flash_attention` (round 5).
+
+    The previous einsum-recompute backward materialized the (B,H,T,T)
+    attention + dattn tensors in HBM — at fused_attention's routed regime
+    (D >= 128, T up to 1024, e.g. (128,8,512,128)) that is 2 x 1 GB of f32
+    per step.  With block_q=1024 the flash tiling degenerates to one q tile
+    of Tp rows, so the lse emitted by the fused forward is exactly the
+    residual the tiled kernels expect.
+    """
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, g, scale, 1024, 512)
 
 
 fused_attention.defvjp(_fwd, _bwd)
