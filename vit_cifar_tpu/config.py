@@ -198,6 +198,13 @@ class Config:
     ss_combined_epoch: bool = True
     donate_buffers: bool = True
     remat: bool = False  # jax.checkpoint the encoder stack
+    # Pallas attention kernels (ops/pallas/attention.py) for the 'vit' mixer.
+    # use_pallas routes by the measured policy (einsum below head_dim 128,
+    # fused while its block fits VMEM, tiled flash beyond — see
+    # docs/PERFORMANCE.md); pallas_kernel forces one of
+    # einsum|fused|flash for benchmarking ('' = route automatically).
+    use_pallas: bool = False
+    pallas_kernel: str = ""
     # pre-augment the whole dataset once per epoch instead of inside the
     # train step (same distribution; trades step work for an epoch-level pass)
     preaugment_epoch: bool = False
@@ -383,6 +390,11 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="ss_combined_epoch", default=True)
     p.add_argument("--no-donate", action="store_false", dest="donate_buffers", default=True)
     _add_bool_flag(p, "remat", d.remat)
+    _add_bool_flag(p, "use-pallas", d.use_pallas)
+    p.add_argument("--pallas-kernel", default=d.pallas_kernel,
+                   choices=["", "einsum", "fused", "flash"],
+                   help="force an attention kernel ('' = measured-policy "
+                        "routing when --use-pallas)")
     p.add_argument("--no-device-data", action="store_false", dest="device_data", default=True)
     p.add_argument("--ae-mask-chunk", default=d.ae_mask_chunk, type=int,
                    help="AEAttentionHeads masked-row chunk size (0 = materialize)")

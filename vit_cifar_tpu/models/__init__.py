@@ -62,6 +62,10 @@ def _make_mixer(cfg: Config, dtype):
             head=cfg.head,
             dropout=cfg.dropout,
             save_attn_map=cfg.save_attn_map,
+            # Pallas attention kernels, routed by the measured policy
+            # (ops/pallas/attention.select_kernel); no reference equivalent
+            use_pallas=cfg.use_pallas,
+            pallas_kernel=cfg.pallas_kernel or None,
             dtype=dtype,
         )
     if name in AFT_MODES:
