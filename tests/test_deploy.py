@@ -132,6 +132,69 @@ def test_export_covers_full_zoo(tmp_path, label, kw):
     assert got.shape == (3, cfg.num_classes)
 
 
+def test_http_serving_endpoint(tmp_path):
+    """The stdlib serving endpoint (deploy.make_http_server): raw-.npy and
+    JSON bodies both predict; logits equal the in-framework eval forward;
+    meta and health respond."""
+    import io
+    import threading
+    import urllib.request
+
+    from vit_cifar_tpu.deploy import make_http_server
+
+    cfg, model, state, ckpt = _make_ckpt(tmp_path)
+    out = export_inference(ckpt, os.path.join(tmp_path, "art"))
+    srv = make_http_server(out, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert json.loads(urllib.request.urlopen(
+            f"{base}/healthz", timeout=60).read())["ok"]
+        meta = json.loads(urllib.request.urlopen(
+            f"{base}/meta", timeout=60).read())
+        assert meta["model_name"] == "vit"
+
+        imgs = np.random.default_rng(3).integers(
+            0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/octet-stream"})
+        got = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        x = normalize(jnp.asarray(imgs), cfg.mean, cfg.std).astype(
+            cfg.compute_dtype)
+        want = model.apply({"params": state.params, **state.model_state},
+                           x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(got["logits"], np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+        assert got["pred"] == list(np.argmax(np.asarray(want), -1))
+
+        # JSON body, different batch size (symbolic batch)
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"images": imgs[:2].tolist()}).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        got2 = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        np.testing.assert_allclose(np.asarray(got2["logits"], np.float32),
+                                   np.asarray(want[:2], np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+        # malformed body -> 400 with an error payload, server stays up
+        req = urllib.request.Request(
+            f"{base}/predict", data=b"garbage", method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_export_covers_moe_model(tmp_path):
     """The Switch-MoE dispatch einsums must trace under a symbolic batch."""
     cfg, model, state, ckpt = _make_ckpt(tmp_path, moe_experts=4)

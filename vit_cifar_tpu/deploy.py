@@ -113,6 +113,65 @@ def load_inference(out_dir: str) -> ServingModel:
     return ServingModel(out_dir)
 
 
+def make_http_server(artifact_dir: str, port: int = 0):
+    """Minimal stdlib serving endpoint over a deserialized artifact.
+
+    POST /predict with a raw .npy body (uint8, (B,H,W,C)) or JSON
+    ``{"images": [[...]]}`` -> JSON ``{"logits": [[...]], "pred": [...]}``;
+    GET /meta returns the artifact metadata, GET /healthz liveness.  One
+    process, one artifact, any batch size (symbolic batch dim) — the
+    serving story end-to-end without this package on the serving side
+    beyond jax itself.
+    """
+    import io
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    model = load_inference(artifact_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "vit_cifar_tpu_serving/1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, obj, status=200):
+            data = _json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send({"ok": True})
+            elif self.path == "/meta":
+                self._send(model.meta)
+            else:
+                self._send({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._send({"error": "not found"}, 404)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if self.headers.get("Content-Type", "").startswith(
+                        "application/json"):
+                    imgs = np.asarray(
+                        _json.loads(body)["images"], np.uint8)
+                else:  # raw .npy
+                    imgs = np.load(io.BytesIO(body), allow_pickle=False)
+                logits = model.predict(imgs)
+                self._send({"logits": logits.tolist(),
+                            "pred": logits.argmax(-1).tolist()})
+            except Exception as e:
+                self._send({"error": repr(e)}, 400)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
 def main(argv=None):
     import argparse
 
@@ -122,12 +181,19 @@ def main(argv=None):
     p.add_argument("--platforms", default="",
                    help="comma list, e.g. 'tpu,cpu'; default current backend")
     p.add_argument("--which", default="best", choices=["best", "last"])
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="after exporting, serve the artifact over HTTP "
+                        "(POST /predict) on this port")
     a = p.parse_args(argv)
     platforms = tuple(x for x in a.platforms.split(",") if x) or None
     out = export_inference(a.ckpt_dir, a.out_dir, platforms=platforms,
                            which=a.which)
     with open(os.path.join(out, _META)) as f:
         print(f.read())
+    if a.serve:
+        srv = make_http_server(out, a.serve)
+        print(f"serving on http://127.0.0.1:{srv.server_address[1]}/predict")
+        srv.serve_forever()
 
 
 if __name__ == "__main__":
