@@ -163,6 +163,53 @@ def test_rotate_matches_pil():
         assert d.any(axis=-1).sum() <= 5, f"m={m}: {d.any(axis=-1).sum()} pixels differ"
 
 
+@pytest.mark.parametrize("axis", [1, 0])
+def test_shear_policy_table_matches_general_path(axis):
+    """The policy ops' precomputed-table fast path (_shear_policy, constant
+    R/fill tables indexed by magnitude bin + random sign) must reproduce the
+    general traced path (_shear_axis) exactly for every published grid
+    magnitude and both signs — same arithmetic, only hoisted to trace time."""
+    img = jnp.asarray(_rand_img(21), jnp.float32)
+    name = "shearX" if axis == 1 else "shearY"
+    fn = aa._OP_FNS[aa._OP_ID[name]]
+    for i, m in enumerate(aa._RANGES["shearX"]):
+        for seed in (0, 1, 2):
+            key = jax.random.PRNGKey(seed)
+            got = np.asarray(fn(img, jnp.float32(float(m)), key))
+            sign = float(np.where(jax.random.bernoulli(key), 1.0, -1.0))
+            want = np.asarray(aa._shear_axis(img, jnp.float32(float(m) * sign),
+                                             axis))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"magnitude bin {i} (m={m}), seed {seed}")
+
+
+def test_shear_usable_across_distinct_jits():
+    """Regression: _shear_tables must NOT cache across traces — an lru_cache
+    whose first call happens inside a jit trace (the production order:
+    training jits before any eager shear runs) leaks tracers into every
+    later trace (observed UnexpectedTracerError on the second distinct jit).
+    The build is deliberately per-call/in-trace (see its docstring for the
+    measured A/B); two distinct jits and an eager call must all agree."""
+    img = jnp.asarray(_rand_img(13), jnp.float32)
+    fn = aa._OP_FNS[aa._OP_ID["shearX"]]
+    m = jnp.float32(float(aa._RANGES["shearX"][5]))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def first(x):
+        return fn(x, m, key)
+
+    @jax.jit
+    def second(x):
+        return fn(x, m, key) + 0.0
+
+    a = np.asarray(first(img))
+    b = np.asarray(second(img))
+    c = np.asarray(fn(img, m, key))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
 def test_batch_autoaugment_runs_and_changes_images():
     rng = np.random.default_rng(8)
     imgs = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)

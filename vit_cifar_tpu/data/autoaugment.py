@@ -172,15 +172,14 @@ def _cubic_weights(t):
     return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
 
 
-def _shear_axis(img, m, axis):
-    """BICUBIC shear: for axis=1 (shearX), src_x = x + m*(y+0.5); per-line
-    constant offset, so a 1D 4-tap cubic along the sheared axis is exact."""
-    H, W, C = img.shape
-    if axis == 1:
-        n_line, n_samp = H, W
-    else:
-        img = img.transpose(1, 0, 2)
-        n_line, n_samp = W, H
+def _shear_rfill(m, n_line, n_samp):
+    """Per-line cubic resampling matrix R[l, s, s'] (<=4 taps per row) and
+    the out-of-bounds fill mask for a shear of per-line offset m*(line+0.5).
+
+    Applying R as one batched matmul replaced per-row take_along_axis
+    gathers under vmap, the op's original hot spot on TPU (4.5 -> 0.5 ms per
+    128-image batch); the one-hot construction itself is pure elementwise
+    work, which is why the policy path precomputes it (see _shear_tables)."""
     line = jnp.arange(n_line, dtype=jnp.float32)
     samp = jnp.arange(n_samp, dtype=jnp.float32)
     # filtered transforms sample at (out+0.5) and shift back 0.5
@@ -188,30 +187,92 @@ def _shear_axis(img, m, axis):
     base = jnp.floor(src)
     frac = src - base
     ws = _cubic_weights(frac)
-    # build the per-line resampling matrix R[l, s, s'] (<=4 cubic taps per
-    # row) and apply it as one batched matmul — per-row take_along_axis
-    # gathers under vmap were the op's hot spot on TPU (4.5 -> 0.5 ms per
-    # 128-image batch); the one-hot construction is pure elementwise work
     cols = jnp.arange(n_samp)
     R = jnp.zeros((n_line, n_samp, n_samp), jnp.float32)
     for k_off, w in zip((-1, 0, 1, 2), ws):
         idx = jnp.clip(base + k_off, 0, n_samp - 1).astype(jnp.int32)
         R = R + w[:, :, None] * (idx[:, :, None] == cols[None, None, :])
-    out = jnp.einsum("lso,loc->lsc", R, img)
     fill = (src < -0.5) | (src >= n_samp - 0.5)
+    return R, fill
+
+
+def _apply_shear_r(img, R, fill):
+    out = jnp.einsum("lso,loc->lsc", R, img)
     # PIL clips with (int)(v + 0.5) — floor(+0.5), not round-half-even
-    out = jnp.where(fill[:, :, None], _FILL, jnp.clip(jnp.floor(out + 0.5), 0, 255))
+    return jnp.where(fill[:, :, None], _FILL,
+                     jnp.clip(jnp.floor(out + 0.5), 0, 255))
+
+
+def _shear_axis(img, m, axis):
+    """BICUBIC shear: for axis=1 (shearX), src_x = x + m*(y+0.5); per-line
+    constant offset, so a 1D 4-tap cubic along the sheared axis is exact.
+
+    General-magnitude path (constructs R for the traced m); the policy ops
+    below use the precomputed-table fast path instead."""
+    if axis != 1:
+        img = img.transpose(1, 0, 2)
+    R, fill = _shear_rfill(m, img.shape[0], img.shape[1])
+    out = _apply_shear_r(img, R, fill)
+    if axis != 1:
+        out = out.transpose(1, 0, 2)
+    return out
+
+
+def _shear_tables(n_line, n_samp):
+    """(20, L, S, S) resampling-matrix / (20, L, S) fill tables: the
+    published shear magnitude grid x both random signs, ordered
+    [+m0, -m0, +m1, -m1, ...].
+
+    AutoAugment shear magnitudes come from the FIXED 10-bin grid
+    (_RANGES['shearX'], the published constants) with only a random sign, so
+    every R an image can ever need is known before any image is seen.  The
+    round-5 xprof trace measured the per-image in-fusion one-hot R
+    construction as the largest AutoAugment kernel class (~0.87 ms of a
+    7.7 ms step; docs/PERFORMANCE.md 'Kernel-level accounting'), and a
+    transposed-layout A/B proved the cost was the construction, not the
+    matmul.
+
+    Deliberately rebuilt at every call, NOT cached: the build has no batch
+    dependence, so under the production vmap-over-images it is lifted out of
+    the per-image loop and runs once per step — measured 1.35 vs 2.10 ms per
+    128-image AA batch (tools/ab_aa_shear.py).  The two tempting caches both
+    lose: an lru_cache leaks tracers when the first call happens inside a
+    jit trace (omnistaging), and concrete closed-over device constants
+    measured SLOWER (2.39 ms) than the construct path — the embedded 2.6 MB
+    constant pays a per-step relayout that the in-trace build avoids."""
+    grid = _RANGES["shearX"]  # shearX and shearY share the same grid
+    rs, fills = [], []
+    for m in grid:
+        for sign in (1.0, -1.0):
+            R, fill = _shear_rfill(jnp.float32(float(m) * sign),
+                                   n_line, n_samp)
+            rs.append(R)
+            fills.append(fill)
+    return jnp.stack(rs), jnp.stack(fills)
+
+
+def _shear_policy(img, mag, key, axis):
+    if axis != 1:
+        img = img.transpose(1, 0, 2)
+    rt, ft = _shear_tables(img.shape[0], img.shape[1])
+    grid_max = float(_RANGES["shearX"][-1])
+    # mag is one of the 10 published grid values -> recover its bin index
+    mi = jnp.round(mag * (9.0 / grid_max)).astype(jnp.int32)
+    # same draw as _rand_sign: bernoulli(key) True -> +magnitude (even rows)
+    var = mi * 2 + jnp.where(jax.random.bernoulli(key), 0, 1)
+    out = _apply_shear_r(img, jnp.take(rt, var, axis=0),
+                         jnp.take(ft, var, axis=0))
     if axis != 1:
         out = out.transpose(1, 0, 2)
     return out
 
 
 def _shear_x(img, mag, key):
-    return _shear_axis(img, mag * _rand_sign(key), axis=1)
+    return _shear_policy(img, mag, key, axis=1)
 
 
 def _shear_y(img, mag, key):
-    return _shear_axis(img, mag * _rand_sign(key), axis=0)
+    return _shear_policy(img, mag, key, axis=0)
 
 
 def _translate_axis(img, shift, axis):
