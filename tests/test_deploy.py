@@ -195,6 +195,40 @@ def test_http_serving_endpoint(tmp_path):
         srv.shutdown()
 
 
+def test_export_quantized_int8(tmp_path):
+    """--quantize int8: weight-only per-channel symmetric quantization of
+    the exported kernels.  Contract: artifact meaningfully smaller (the
+    kernels ship as int8 + f32 scales instead of f32), logits within the
+    quantization noise of the float artifact, predictions preserved."""
+    cfg, model, state, ckpt = _make_ckpt(tmp_path, hidden=128, mlp_hidden=128)
+    out_f = export_inference(ckpt, os.path.join(tmp_path, "art_f32"))
+    out_q = export_inference(ckpt, os.path.join(tmp_path, "art_int8"),
+                             quantize="int8")
+
+    f32 = load_inference(out_f)
+    q = load_inference(out_q)
+    assert q.meta["quantize"] == "int8"
+    # weight bytes are 4x smaller; the fixed StableHLO program overhead
+    # keeps the whole-file ratio above 1/4
+    assert q.meta["bytes"] < 0.6 * f32.meta["bytes"], (
+        q.meta["bytes"], f32.meta["bytes"])
+
+    imgs = np.random.default_rng(4).integers(
+        0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    got_f, got_q = f32.predict(imgs), q.predict(imgs)
+    err = np.abs(got_q - got_f)
+    scale = np.abs(got_f).max()
+    assert err.max() <= 0.05 * scale + 0.05, (err.max(), scale)
+    # top-1 must survive weight-only int8 on all 16 images
+    np.testing.assert_array_equal(got_q.argmax(-1), got_f.argmax(-1))
+
+
+def test_quantize_rejects_unknown_mode(tmp_path):
+    _, _, _, ckpt = _make_ckpt(tmp_path)
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        export_inference(ckpt, os.path.join(tmp_path, "art"), quantize="fp4")
+
+
 def test_export_covers_moe_model(tmp_path):
     """The Switch-MoE dispatch einsums must trace under a symbolic batch."""
     cfg, model, state, ckpt = _make_ckpt(tmp_path, moe_experts=4)

@@ -20,7 +20,15 @@ Design:
     backend.
 
 CLI: ``python -m vit_cifar_tpu.deploy <ckpt_dir> <out_dir> [--platforms
-tpu,cpu] [--which best|last]``.
+tpu,cpu] [--which best|last] [--quantize int8]``.
+
+``--quantize int8`` ships weight-only post-training quantization: every
+matmul/conv ``kernel`` is stored in the artifact as int8 with a per-output-
+channel symmetric f32 scale (absmax/127) and dequantized on device at call
+time — the standard serving trade (artifact ~4x smaller on the weight
+bytes, identical compute path, sub-percent logit deviation; measured in
+tests/test_deploy.py).  Norm/bias/cls/positional params and all model
+state (BatchNorm stats, EMA bases, NNMF weights) stay exact.
 """
 
 from __future__ import annotations
@@ -42,12 +50,64 @@ _ARTIFACT = "serving.jaxexport"
 _META = "serving.json"
 
 
-def _inference_fn(cfg: Config, model, params, model_state):
-    variables = {"params": params, **(model_state or {})}
+def _quantize_store(params):
+    """Weight-only int8: split params into a store of ('int8', q, scale) /
+    ('raw', w) leaves.  Quantized: 2D+ ``kernel`` leaves (Dense/Conv weights),
+    symmetric per-output-channel absmax/127.  Everything else — norms,
+    biases, cls token, positional embedding, ``nnmf_weights`` (a routing key
+    with its own update rule, ops/nnmf/) — stays exact."""
+    import flax.traverse_util as tu
+
+    store, n_q = {}, 0
+    for path, w in tu.flatten_dict(params).items():
+        wa = np.asarray(w)
+        if path[-1] == "kernel" and wa.ndim >= 2 and wa.dtype == np.float32:
+            red = tuple(range(wa.ndim - 1))  # all axes but out-features
+            s = np.max(np.abs(wa), axis=red, keepdims=True) / 127.0
+            s = np.where(s == 0, 1.0, s).astype(np.float32)
+            store[path] = ("int8", np.round(wa / s).astype(np.int8), s)
+            n_q += 1
+        else:
+            store[path] = ("raw", wa)
+    return store, n_q
+
+
+def _dequantize(store, one):
+    """Rebuild the f32 params tree inside the traced inference fn.
+
+    ``one`` is a traced 1.0 derived from the input: multiplying the int8
+    constants by a TRACER keeps the convert+scale inside the exported graph
+    — ops on purely concrete arrays run eagerly at trace time, which would
+    fold the weights straight back to f32 constants and forfeit the int8
+    artifact size (observed: byte-identical artifacts without this)."""
+    import flax.traverse_util as tu
+
+    out = {}
+    for path, entry in store.items():
+        if entry[0] == "int8":
+            _, q, s = entry
+            out[path] = jnp.asarray(q) * (jnp.asarray(s) * one)
+        else:
+            out[path] = entry[1]
+    return tu.unflatten_dict(out)
+
+
+def _inference_fn(cfg: Config, model, params, model_state,
+                  quantize: str | None = None):
+    if quantize == "int8":
+        store, _ = _quantize_store(params)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r} (only 'int8')")
 
     def infer(img_u8):
         # (B, H, W, C) uint8 -> logits (B, num_classes) float32.
         # Same preprocessing as eval (train/steps.py:make_eval_step).
+        if quantize:
+            one = (img_u8[0, 0, 0, 0] * 0 + 1).astype(jnp.float32)
+            p = _dequantize(store, one)
+        else:
+            p = params
+        variables = {"params": p, **(model_state or {})}
         x = normalize(img_u8, cfg.mean, cfg.std).astype(cfg.compute_dtype)
         logits = model.apply(variables, x, deterministic=True)
         return logits.astype(jnp.float32)
@@ -60,12 +120,14 @@ def export_inference(
     out_dir: str,
     platforms: tuple[str, ...] | None = None,
     which: str = "best",
+    quantize: str | None = None,
 ) -> str:
     """Export a trained checkpoint as a serving artifact; returns the path."""
     payload, cfg = load_checkpoint(ckpt_dir, prefer=which)
     model, _ = get_model(cfg)
     infer = _inference_fn(
-        cfg, model, payload["params"], payload.get("model_state", {})
+        cfg, model, payload["params"], payload.get("model_state", {}),
+        quantize=quantize,
     )
 
     (b,) = jax_export.symbolic_shape("b")
@@ -86,6 +148,7 @@ def export_inference(
         "platforms": list(exp.platforms),
         "calling_convention_version": exp.calling_convention_version,
         "bytes": len(blob),
+        "quantize": quantize,
         "source_checkpoint": os.path.abspath(ckpt_dir),
         "config": json.loads(cfg.to_json()),
     }
@@ -181,13 +244,16 @@ def main(argv=None):
     p.add_argument("--platforms", default="",
                    help="comma list, e.g. 'tpu,cpu'; default current backend")
     p.add_argument("--which", default="best", choices=["best", "last"])
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only post-training quantization of the "
+                        "exported kernels (per-channel symmetric int8)")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="after exporting, serve the artifact over HTTP "
                         "(POST /predict) on this port")
     a = p.parse_args(argv)
     platforms = tuple(x for x in a.platforms.split(",") if x) or None
     out = export_inference(a.ckpt_dir, a.out_dir, platforms=platforms,
-                           which=a.which)
+                           which=a.which, quantize=a.quantize)
     with open(os.path.join(out, _META)) as f:
         print(f.read())
     if a.serve:
