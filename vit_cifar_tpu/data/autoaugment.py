@@ -73,12 +73,28 @@ def _posterize(img, mag, key):
 
 
 def _equalize(img, mag, key):
-    """PIL ImageOps.equalize per channel (integer lut arithmetic)."""
+    """PIL ImageOps.equalize per channel (integer lut arithmetic).
+
+    Both the histogram and the lut application run through a hi/lo-nibble
+    bit-split (idx = hi*16 + lo): two (P, 16) one-hots instead of one
+    (P, 256), so the elementwise comparison work drops 8x and the rest
+    rides the MXU as tiny matmuls —
+      histogram  h[hi, lo] = oh_hi^T @ oh_lo          (exact counts <= P)
+      lut apply  out_p     = (oh_hi @ lut2d) . oh_lo  (exact row/col select)
+    All values are small integers, exact in f32.  This replaced the flat
+    (P, 256) one-hot after the round-5 xprof trace measured equalize's 6
+    fusions (3 channels x 2 policy-op slots, the vmapped lax.switch
+    evaluates every branch) at 91 us each — the largest remaining kernel
+    class after the shear fix; batched gathers under vmap were A/B'd far
+    worse still (4.5 ms per 128-image batch).  Measured 0.92 -> 0.52 ms
+    per 128-image AA batch (tools/ab_aa_equalize.py)."""
 
     def chan(ch):
         idx = ch.astype(jnp.int32)
-        onehot = (idx.reshape(-1, 1) == jnp.arange(256)[None, :]).astype(jnp.float32)
-        h = onehot.sum(0).astype(jnp.int32)  # (256,) histogram
+        cols = jnp.arange(16)
+        oh_hi = ((idx.reshape(-1, 1) >> 4) == cols[None, :]).astype(jnp.float32)
+        oh_lo = ((idx.reshape(-1, 1) & 15) == cols[None, :]).astype(jnp.float32)
+        h = (oh_hi.T @ oh_lo).reshape(256).astype(jnp.int32)  # (256,) histogram
         nz = h > 0
         n_nz = nz.sum()
         last_idx = 255 - jnp.argmax(nz[::-1])
@@ -88,10 +104,9 @@ def _equalize(img, mag, key):
         lut = jnp.clip((step // 2 + cum_excl) // jnp.maximum(step, 1), 0, 255)
         use_id = (n_nz <= 1) | (step == 0)
         lut = jnp.where(use_id, jnp.arange(256), lut)
-        # lut[idx] as onehot @ lut: a (H*W,256)@(256,) matmul instead of a
-        # batched gather — gathers under vmap are the op's hot spot on TPU
-        # (measured 4.5 -> 0.6 ms per 128-image batch)
-        return (onehot @ lut.astype(jnp.float32)).reshape(ch.shape)
+        lut2d = lut.astype(jnp.float32).reshape(16, 16)
+        out = ((oh_hi @ lut2d) * oh_lo).sum(-1)
+        return out.reshape(ch.shape)
 
     return jnp.stack([chan(img[..., c]) for c in range(img.shape[-1])], axis=-1)
 
