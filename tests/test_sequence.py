@@ -85,7 +85,12 @@ def test_seq_parallel_hlo_partitions_tokens():
 
 def test_seq_parallel_train_step_matches_dp():
     """Full train step (CutMix gate, label smoothing, adam) on a
-    (2,4) data x seq mesh equals the pure DP-8 run."""
+    (2,4) data x seq mesh — and on the (2,2,2) data x seq x model triple
+    (Megatron TP inside a sequence-partitioned trunk; SP pins the token
+    dim of activations while shard_params pins the head/feature dim of
+    weights, so the two annotations compose under GSPMD) — equals the
+    pure DP-8 run."""
+    from vit_cifar_tpu.parallel.mesh import has_model_axis, shard_params
     from vit_cifar_tpu.train.loop import init_state
     from vit_cifar_tpu.train.optim import make_optimizer
     from vit_cifar_tpu.train.steps import make_train_step
@@ -102,6 +107,7 @@ def test_seq_parallel_train_step_matches_dp():
     for name, shape, axes in [
         ("dp", (8,), ("data",)),
         ("dpsp", (2, 4), ("data", "seq")),
+        ("dpsptp", (2, 2, 2), ("data", "seq", "model")),
     ]:
         cfg = _small_cfg(batch_size=16, warmup_epoch=0, label_smoothing=True,
                          synthetic_data=True, mesh_shape=shape, mesh_axes=axes)
@@ -111,6 +117,11 @@ def test_seq_parallel_train_step_matches_dp():
             model = seq_parallel_model(model, mesh)
         tx = make_optimizer(cfg, steps_per_epoch=4)
         state = init_state(cfg, model, tx, jnp.zeros((2, 32, 32, 3), jnp.float32))
+        if has_model_axis(mesh):
+            state = state.replace(params=shard_params(mesh, state.params))
+            # TP really took the attention Linears
+            wq = state.params["enc0"]["mixer"]["Wq"]["kernel"]
+            assert "model" in wq.sharding.spec
         repl = replicated_sharding(mesh)
         x_all = jax.device_put(x_np, repl)
         y_all = jax.device_put(y_np, repl)
@@ -121,11 +132,12 @@ def test_seq_parallel_train_step_matches_dp():
         losses[name] = float(m["loss"])
         states[name] = state
 
-    np.testing.assert_allclose(losses["dp"], losses["dpsp"], rtol=1e-5)
     # full equality contract (round-4 verdict weak #3): a pad-row artifact
     # confined to pos_emb/attention params could hide behind a matching loss
-    assert_states_equal(states["dpsp"], states["dp"], atol=2e-5,
-                        label="dp-vs-dpsp/")
+    for name in ("dpsp", "dpsptp"):
+        np.testing.assert_allclose(losses["dp"], losses[name], rtol=1e-5)
+        assert_states_equal(states[name], states["dp"], atol=2e-5,
+                            label=f"dp-vs-{name}/")
 
 
 def test_seq_parallel_no_pad_when_divisible():
