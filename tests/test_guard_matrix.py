@@ -143,6 +143,9 @@ def _combo_cases():
         cases.append((n, "dppp"))
     cases.append(("vit", "dpsp"))
     cases.append(("vit_moe", "dpep"))
+    # the padded-seq x MoE guard's own escape hatch: no cls token -> T=64
+    # divides the seq axis, no pad tokens reach the Switch router
+    cases.append(("vit_moe_nocls", "dpsp"))
     return cases
 
 
@@ -168,6 +171,8 @@ def test_allowed_zoo_parallel_combination_trains(name, mode):
         base, kw = name[: -len("_ema")], {"train_md_bases": True}
     if name == "vit_moe":
         base, kw = "vit", {"moe_experts": 4}
+    if name == "vit_moe_nocls":
+        base, kw = "vit", {"moe_experts": 4, "is_cls_token": False}
     shape, axes = MODE_MESH[mode]
     cfg = _cfg(base, mesh_shape=shape, mesh_axes=axes, **kw)
     mesh = make_mesh(shape, axes)
