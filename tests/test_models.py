@@ -116,3 +116,48 @@ def test_full_dim_scale_quirk():
     _, inter = m.apply(variables, jnp.asarray(x), mutable=["intermediates"])
     got = np.asarray(inter["intermediates"]["attn_map"][0])
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_remat_is_numerically_transparent():
+    """``--remat`` wraps each encoder block in jax.checkpoint (models/vit.py):
+    a scheduling change (recompute activations in the backward), never a math
+    change.  The loss is bit-equal (same forward); grads match the non-remat
+    model to reassociation noise (XLA fuses the recomputed forward
+    differently, measured max |delta| ~3e-8), including under live dropout
+    (the rng must thread through the checkpointed block identically — a
+    dropout-rng divergence would show up as O(1) grad differences, orders
+    above this tolerance)."""
+    def build(remat):
+        cfg = Config(model_name="vit", num_layers=2, hidden=32, mlp_hidden=64,
+                     head=4, precision="32", dropout=0.3, remat=remat)
+        model, _ = get_model(cfg)
+        return model
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(np.array([0, 1, 2, 3]), jnp.int32)
+
+    outs = {}
+    for remat in (False, True):
+        model = build(remat)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, deterministic=True)
+
+        def loss_fn(params, m=model):
+            logits = m.apply({"params": params}, x, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+            onehot = jax.nn.one_hot(y, 10)
+            return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), -1))
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+        outs[remat] = (float(loss), grads)
+
+    assert outs[False][0] == outs[True][0]
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(outs[True][1]),
+        jax.tree_util.tree_leaves(outs[False][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
