@@ -77,3 +77,32 @@ def test_bench_retry_emits_error_json_when_backend_unavailable(monkeypatch, caps
     assert payload["metric"] == "train_images_per_sec"
     assert payload["value"] == 0.0
     assert "error" in payload
+
+
+def test_flag_plumbing_reaches_model_factory():
+    """Regression fence for flag->mechanism wiring: every numerics-affecting
+    config flag whose ONLY job is plumbing into the model factory must
+    actually arrive there (the mechanisms themselves are tested at ops level
+    under their own names; this pins the cfg.<flag> -> module-kwarg hop)."""
+    from vit_cifar_tpu.models import get_model, nnmf_params_from_cfg
+
+    # NNMF learning-rule flags (network.py:19-33 _nnmf_params)
+    p = nnmf_params_from_cfg(Config(nnmf_local_learning=True, nnmf_scale_grade=True))
+    assert p.local_learning and p.keep_last_grad_scale and not p.disable_scale_grade
+    p = nnmf_params_from_cfg(Config(nnmf_scale_grade=False))
+    assert not p.keep_last_grad_scale and p.disable_scale_grade
+
+    # AEAttentionHeads mask chunking (layers.py:987-1005 chunked mask matmul)
+    m, _ = get_model(Config(model_name="ae", ae_type="heads", ae_mask_chunk=7))
+    assert m.mixer.keywords["mask_chunk"] == 7
+
+    # AE_transpose is parsed but consumed NOWHERE in the reference
+    # (main.py:129 is its only occurrence) — dead-flag parity: we parse it
+    # identically and deliberately never plumb it.
+    assert config_from_args(["--ae-transpose"]).AE_transpose is True
+    m, _ = get_model(Config(model_name="ae", AE_transpose=True))
+    assert "AE_transpose" not in getattr(m.mixer, "keywords", {})
+
+    # Switch-MoE capacity factor (ops/moe.py expert buffer sizing)
+    m, _ = get_model(Config(model_name="vit", moe_experts=4, moe_capacity_factor=2.5))
+    assert m.mlp_factory.keywords["capacity_factor"] == 2.5

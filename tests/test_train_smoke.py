@@ -549,3 +549,54 @@ def test_moe_fit_logs_router_balance_metric(tmp_path):
         rows = list(csv.DictReader(f))
     vals = [float(r["moe_aux"]) for r in rows if r.get("moe_aux")]
     assert vals and all(0.9 < v < 4.0 for v in vals)
+
+
+def _tiny_raw(monkeypatch, n_train=256, n_test=64):
+    """Swap the 50k synthetic dataset for a tiny one (whole-dataset paths —
+    preaugment, profiling — would otherwise trace/augment 50k images on the
+    CPU test box)."""
+    from vit_cifar_tpu.data.datasets import RawData
+    from vit_cifar_tpu.train import loop as loop_mod
+
+    rng = np.random.default_rng(7)
+    raw = RawData(
+        x_train=rng.integers(0, 255, (n_train, 32, 32, 3), dtype=np.uint8),
+        y_train=rng.integers(0, 10, n_train).astype(np.int32),
+        x_test=rng.integers(0, 255, (n_test, 32, 32, 3), dtype=np.uint8),
+        y_test=rng.integers(0, 10, n_test).astype(np.int32),
+        num_classes=10, synthetic=True,
+    )
+    monkeypatch.setattr(loop_mod, "load_dataset", lambda *a, **k: raw)
+
+
+def test_preaugment_epoch_fit(tmp_path, monkeypatch):
+    """--preaugment-epoch (whole-dataset augmentation once per epoch instead
+    of per-step in-step augmentation) must train end-to-end. Kept as a CLI
+    option after losing the round-4 A/B (tools/ab_batch.py) because it is
+    the reference's actual data-path shape (utils.py:337-368: torchvision
+    transforms run per-sample before batching, not inside the train step)."""
+    from vit_cifar_tpu.train.loop import train
+
+    _tiny_raw(monkeypatch)
+    cfg = Config(**SMALL).replace(
+        preaugment_epoch=True, autoaugment=True, dry_run=True,
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "models"))
+    res = train(cfg, verbose=False)
+    assert np.isfinite(res["val_loss"])
+
+
+def test_profile_dir_writes_trace(tmp_path, monkeypatch):
+    """--profile-dir (SURVEY §5 tracing/profiling) must capture a jax.profiler
+    trace of the steady epoch: the trace directory must exist and contain the
+    plugins/profile/<ts>/ artifacts tools/profile_kernels.py consumes."""
+    from vit_cifar_tpu.train.loop import train
+
+    _tiny_raw(monkeypatch)
+    prof = tmp_path / "xprof"
+    cfg = Config(**SMALL).replace(
+        dry_run=True, profile_dir=str(prof),
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "models"))
+    res = train(cfg, verbose=False)
+    assert np.isfinite(res["val_loss"])
+    captures = list(prof.glob("plugins/profile/*"))
+    assert captures, f"no profiler capture under {prof}"
